@@ -1,0 +1,179 @@
+"""Batched OSQP-style ADMM solver in pure JAX.
+
+Replaces the vendored OsqpEigen/libosqp solver (trajectory_planner/
+third_party/OsqpEigen, used at mpcPlanner.cpp:436-527). Same algorithm as
+OSQP — Ruiz equilibration, per-row penalty rho (1e3x on equality rows,
+1e-6 on loose rows), over-relaxed ADMM — redesigned for TPU:
+
+  * structured matvecs: A never materializes (ops/qp.py closed forms).
+  * the x-update linear system M = P + sigma I + A^T rho A is assembled
+    from block structure, Cholesky-factorized ONCE per solve, and
+    explicitly inverted so every iteration is a batched matvec
+    (MXU-friendly; triangular solves are sequential and slow on TPU).
+  * iterations are a fixed-count lax.scan (static shapes; the reference's
+    wall-clock `solver_time_limit` becomes an iteration budget).
+  * candidates/scenarios vmap over leading axes; thousands of QPs solve
+    simultaneously per chip.
+
+Scaled iteration (OSQP):
+  x~ = M^{-1} (sigma x - q + A^T (rho z - y))
+  x+ = alpha x~ + (1-alpha) x
+  z+ = clip(alpha A x~ + (1-alpha) z + y/rho, l, u)
+  y+ = y + rho (alpha A x~ + (1-alpha) z - z+)
+
+Warm start follows the reference protocol: primal from the previous
+solution, dual zero (mpcPlanner.cpp:485-509).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from intent_mpc_tpu.ops import qp as qplib
+from intent_mpc_tpu.ops.qp import ConVec, QPData
+from intent_mpc_tpu.utils.config import PlannerConfig, SolverConfig
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class ADMMResult(NamedTuple):
+    x: jnp.ndarray          # (n,) primal solution (unscaled)
+    y: ConVec               # dual (unscaled)
+    prim_res: jnp.ndarray   # scalar ||Ax - z||_inf (unscaled)
+    dual_res: jnp.ndarray   # scalar ||Px + q + A^T y||_inf (unscaled)
+    solved: jnp.ndarray     # bool: primal residual within tolerance
+
+
+class Scaling(NamedTuple):
+    D: jnp.ndarray          # (n,) column scaling
+    E: ConVec               # row scaling
+    c: jnp.ndarray          # scalar cost scaling
+
+
+def ruiz_equilibrate(cfg: PlannerConfig, qp: QPData, hdiag: jnp.ndarray,
+                     iters: int) -> Scaling:
+    """Ruiz equilibration of [P A^T; A 0] + OSQP cost scaling.
+
+    Operates entirely on the structured representation via closed-form
+    row/col abs-max norms (qp.a_rowmax / qp.a_colmax). P is diagonal, so
+    its scaled column norms are c*D^2*|h|.
+    """
+    n = cfg.num_vars
+    D = jnp.ones(n)
+    E = ConVec(*(jnp.ones_like(a) for a in qplib.a_matvec(cfg, qp, D)))
+    c = jnp.asarray(1.0)
+
+    def safe_inv_sqrt(v):
+        return jnp.where(v > 1e-12, jax.lax.rsqrt(jnp.maximum(v, 1e-12)), 1.0)
+
+    for _ in range(iters):
+        # column norms of scaled [P; A]
+        pcol = c * D * D * jnp.abs(hdiag)
+        acol = qplib.a_colmax(cfg, qp, E)
+        acol = acol * D
+        cn = jnp.maximum(pcol, acol)
+        dd = safe_inv_sqrt(cn)
+        D = D * dd
+        # row norms of scaled A
+        rn = qplib.a_rowmax(cfg, qp, D).scale(E)
+        de = rn.map(safe_inv_sqrt)
+        E = E.scale(de)
+        # cost scaling
+        pcol = c * D * D * jnp.abs(hdiag)
+        qs = c * D * jnp.abs(qp.q)
+        denom = jnp.maximum(jnp.mean(pcol), jnp.max(qs))
+        g = jnp.where(denom > 1e-12, 1.0 / denom, 1.0)
+        c = c * g
+    return Scaling(D=D, E=E, c=c)
+
+
+def admm_solve(cfg: PlannerConfig, qp: QPData,
+               x0: Optional[jnp.ndarray] = None,
+               max_iter: Optional[int] = None,
+               scfg: Optional[SolverConfig] = None,
+               feas_tol: float = 5e-2) -> ADMMResult:
+    """Solve one QP (vmap over a leading axis for batches)."""
+    scfg = scfg or cfg.solver
+    n = cfg.num_vars
+    hdiag = qplib.hessian_diag(cfg)
+
+    sc = ruiz_equilibrate(cfg, qp, hdiag, scfg.scaling_iters)
+    D, E, c = sc.D, sc.E, sc.c
+    h_s = c * D * D * hdiag
+    q_s = c * D * qp.q
+    l_s = qp.l.scale(E)
+    u_s = qp.u.scale(E)
+
+    rho = qplib.rho_vec(cfg, qp, scfg.rho, scfg.rho_eq_scale)
+    # scaled rows: rho acts on scaled A rows -> effective rho_row * E^2 inside
+    # A^T rho A of the scaled system is handled by scaling A itself; we fold
+    # E into the matvecs below instead.
+
+    def a_s(x):      # scaled A: E * A(D x)
+        return qplib.a_matvec(cfg, qp, D * x).scale(E)
+
+    def at_s(w):     # scaled A^T: D * A^T(E w)
+        return D * qplib.at_matvec(cfg, qp, w.scale(E))
+
+    rho_inner = rho.map(lambda r, e: r * e * e, E)
+    M = qplib.assemble_normal_matrix(cfg, qp, h_s, scfg.sigma, rho_inner,
+                                     col_scale=D)
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.eye(n, dtype=M.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    Minv = jnp.matmul(Linv.T, Linv, precision=_PREC)
+
+    def msolve(rhs):
+        x = jnp.matmul(Minv, rhs, precision=_PREC)
+        for _ in range(scfg.refine_iters):
+            r = rhs - jnp.matmul(M, x, precision=_PREC)
+            x = x + jnp.matmul(Minv, r, precision=_PREC)
+        return x
+
+    if x0 is None:
+        x0 = jnp.zeros(n, M.dtype)
+    xs0 = x0 / D                 # to scaled space
+    z0 = a_s(xs0)
+    y0 = ConVec(*(jnp.zeros_like(a) for a in z0))
+
+    sigma, alpha = scfg.sigma, scfg.alpha
+    iters = max_iter if max_iter is not None else scfg.max_iter
+
+    def step(carry, _):
+        x, z, y = carry
+        rz_y = z.map(lambda zi, ri, yi: ri * zi - yi, rho, y)
+        rhs = sigma * x - q_s + at_s(rz_y)
+        x_t = msolve(rhs)
+        z_t = a_s(x_t)
+        x_n = alpha * x_t + (1.0 - alpha) * x
+        z_relax = z_t.map(lambda zt, zi: alpha * zt + (1.0 - alpha) * zi, z)
+        z_n = z_relax.map(
+            lambda zr, yi, ri, li, ui: jnp.clip(zr + yi / ri, li, ui),
+            y, rho, l_s, u_s)
+        y_n = y.map(lambda yi, zr, zn, ri: yi + ri * (zr - zn), z_relax, z_n, rho)
+        return (x_n, z_n, y_n), None
+
+    (xs, zs, ys), _ = jax.lax.scan(step, (xs0, z0, y0), None, length=iters)
+
+    # unscale
+    x = D * xs
+    y = ys.scale(E).map(lambda v: v / c)
+    z = zs.map(lambda zi, ei: zi / ei, E)
+
+    ax = qplib.a_matvec(cfg, qp, x)
+    prim = (ax - z).inf_norm()
+    dual_vec = hdiag * x + qp.q + qplib.at_matvec(cfg, qp, y)
+    dual = jnp.max(jnp.abs(dual_vec))
+    return ADMMResult(x=x, y=y, prim_res=prim, dual_res=dual,
+                      solved=prim < feas_tol)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def admm_solve_batch(cfg: PlannerConfig, qps: QPData, max_iter: int,
+                     x0: jnp.ndarray) -> ADMMResult:
+    """vmapped solve over a leading candidate/batch axis."""
+    return jax.vmap(lambda q, x: admm_solve(cfg, q, x, max_iter))(qps, x0)

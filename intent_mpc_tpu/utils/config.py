@@ -1,0 +1,266 @@
+"""Configuration dataclasses for the TPU-native Intent-MPC framework.
+
+Default values mirror the reference benchmark configuration
+(`autonomous_flight/cfg/mpc_navigation/*.yaml` in kotakondo/Intent-MPC):
+
+- planner:   planner_param.yaml (mpc_planner/*)
+- predictor: predictor_param.yaml
+- detector:  fake_detector_param.yaml + mapping_param.yaml (robot_size)
+- world:     dynus_obstacles_ros1/src/dynus_obstacles_node.cpp:53-90
+- flight:    flight_base.yaml
+- control:   tracking_controller/cfg/controller_param.yaml
+
+All configs are frozen (hashable) so they can be closed over by jitted
+functions as static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+import math
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class WorldConfig:
+    """Seeded DYNUS-style obstacle world.
+
+    Reference: dynus_obstacles_ros1/src/dynus_obstacles_node.cpp:53-152.
+    """
+
+    num_obstacles: int = 200
+    dynamic_ratio: float = 0.65
+    x_range: Tuple[float, float] = (5.0, 105.0)
+    y_range: Tuple[float, float] = (-15.0, 15.0)
+    z_range: Tuple[float, float] = (0.0, 7.0)
+    slower_range: Tuple[float, float] = (4.0, 6.0)
+    scale_range: Tuple[float, float] = (2.0, 4.0)
+    offset_range: Tuple[float, float] = (0.0, 3.0)
+    bbox_dynamic: Tuple[float, float, float] = (0.8, 0.8, 0.8)
+    bbox_static_vert: Tuple[float, float, float] = (0.4, 0.4, 4.0)
+    bbox_static_horiz: Tuple[float, float, float] = (0.4, 4.0, 0.4)
+    percentage_vert: float = 0.35  # fraction of static obstacles that are pillars
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """Ground-truth detector with finite-difference state estimation.
+
+    Reference: onboard_detector/include/onboard_detector/fakeDetector.cpp:138-258
+    (stateCB finite differencing), :525-553 (history getter), and
+    fake_detector_param.yaml (history_size=100, color_distance=30).
+    """
+
+    history_size: int = 100
+    sensor_range: float = 30.0          # color_distance: 2D range gate
+    robot_size: Tuple[float, float, float] = (0.5, 0.5, 0.3)  # mapping_param.yaml
+    fd_period: float = 0.1              # min dT for velocity/acceleration finite diff
+    history_period: float = 1.0 / 30.0  # histCB timer (fakeDetector.cpp:69)
+
+
+@dataclass(frozen=True)
+class PredictorConfig:
+    """Markov-chain intent predictor + multi-hypothesis rollouts.
+
+    Reference: dynamic_predictor/include/dynamic_predictor/dynamicPredictor.cpp
+    and predictor_param.yaml.
+    """
+
+    num_pred: int = 30                # prediction_size
+    dt: float = 0.1                   # prediction_time_step
+    z_score: float = 0.674            # prediction_z_score
+    min_turning_time: float = 2.0
+    max_turning_time: float = 3.0
+    max_front_prob: float = 0.5
+    front_angle_deg: float = 25.0
+    stop_vel: float = 0.1             # stop_velocity_thereshold
+    pscale: float = 5.0               # prob_scale_param
+
+    # Fixed-shape sample-grid sizes (the reference uses data-dependent
+    # `for(double i=min; i<max; i+=step)` loops, dynamicPredictor.cpp:365-366,
+    # :438-440; we use padded grids + validity masks).
+    forward_angle_step: float = 0.1
+    forward_speed_step: float = 0.1
+    max_forward_speed_samples: int = 32
+    turning_speed_step: float = 0.2
+    turning_angvel_step: float = 0.2
+    turning_end_step: float = 0.2
+    max_turning_speed_samples: int = 16
+
+    # ---- derived parameters (dynamicPredictor.cpp:66-106) ----
+    @property
+    def front_angle(self) -> float:
+        return self.front_angle_deg * math.pi / 180.0
+
+    @property
+    def param_l(self) -> float:
+        return (1.0 - self.max_front_prob) / (3.0 * self.max_front_prob - 1.0)
+
+    @property
+    def param_r(self) -> float:
+        return self.param_l
+
+    @property
+    def param_f(self) -> float:
+        fa = self.front_angle
+        pl = self.param_l
+        return math.sqrt(fa * fa / (-2.0 * math.log(pl * (1.0 + math.sin(fa)) - pl)))
+
+    @property
+    def param_s(self) -> float:
+        return math.atanh(0.5) / self.stop_vel
+
+    @property
+    def num_forward_angle_samples(self) -> int:
+        # for(i=minAngle; i<maxAngle; i+=0.1) over a 2*front_angle span
+        return int(math.ceil(2.0 * self.front_angle / self.forward_angle_step - 1e-12))
+
+    @property
+    def num_turning_angvel_samples(self) -> int:
+        lo = (math.pi / 2.0) / self.max_turning_time
+        hi = (math.pi / 2.0) / self.min_turning_time
+        return int(math.ceil((hi - lo) / self.turning_angvel_step - 1e-12))
+
+    @property
+    def num_turning_end_samples(self) -> int:
+        span = math.pi - 2.0 * self.front_angle
+        return int(math.ceil(span / self.turning_end_step - 1e-12))
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """OSQP-style ADMM settings for the batched QP solver.
+
+    The reference vendors OsqpEigen over libosqp (trajectory_planner/
+    third_party/OsqpEigen), warm-started, time-limited to 0.05 s per solve
+    (mpcPlanner.cpp:436-527). We replace the wall-clock cap with a fixed
+    iteration budget (static shapes for XLA).
+    """
+
+    rho: float = 0.1
+    rho_eq_scale: float = 1e3         # OSQP uses rho*1e3 on equality rows
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    max_iter: int = 100
+    warm_start: bool = True
+    scaling_iters: int = 3            # Ruiz equilibration sweeps (0 disables)
+    refine_iters: int = 1             # iterative-refinement steps per x-update (f32)
+    eps_abs: float = 1e-3             # used only for residual reporting
+    eps_rel: float = 1e-3
+
+
+@dataclass(frozen=True)
+class PlannerConfig:
+    """MPC planner parameters.
+
+    Reference: planner_param.yaml (mpc_planner/*) and flight_base.yaml
+    (desired_velocity/acceleration become max_vel/max_acc, mpcNavigation.cpp:161-162).
+    """
+
+    horizon: int = 30
+    ts: float = 0.1
+    y_range: Tuple[float, float] = (-5.0, 5.0)
+    z_range: Tuple[float, float] = (0.5, 4.5)
+    static_safety_dist: float = 0.8
+    dynamic_safety_dist: float = 1.5
+    static_slack: float = 0.01        # static_constraint_slack_ratio
+    dynamic_slack: float = 0.2        # dynamic_constraint_slack_ratio
+    position_weight: float = 1000.0
+    velocity_weight: float = 0.0
+    acceleration_weight: float = 10.0
+    dummy_state_weights: Tuple[float, float] = (100.0, 1000.0)  # mpcPlanner.cpp:928
+    slack_control_weights: Tuple[float, float] = (1.0, 1.0)     # mpcPlanner.cpp:930
+    max_vel: float = 5.0
+    max_acc: float = 20.0
+    max_obstacles: int = 64           # padded obstacle-slot count (fixed shapes)
+    num_intent_candidates: int = 6    # intent combos per replan (mpcPlanner.cpp:715)
+    consistency_steps: int = 10       # getConsistencyScore (mpcPlanner.cpp:781)
+    direction_weight_a: float = 3.0   # findClosestObstacle (mpcPlanner.cpp:696)
+    max_ref_forward_time: float = 3.0 # getReferenceTraj window (mpcPlanner.cpp:1210)
+    solver: SolverConfig = SolverConfig()
+
+    @property
+    def mpc_window(self) -> int:
+        return self.horizon - 1
+
+    @property
+    def num_vars(self) -> int:
+        return 8 * self.horizon + 5 * self.mpc_window
+
+
+@dataclass(frozen=True)
+class ControlConfig:
+    """Cascaded PID tracking controller (acceleration output mode).
+
+    Reference: tracking_controller/cfg/controller_param.yaml and
+    trackingController.cpp:426-523 (computeAttitudeAndAccRef).
+    """
+
+    position_p: Tuple[float, float, float] = (2.0, 2.0, 1.8)
+    position_i: Tuple[float, float, float] = (0.0, 0.0, 0.1)
+    position_d: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    velocity_p: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    velocity_i: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    velocity_d: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Closed-loop engine timing and termination.
+
+    The reference runs mpcCB at 10 Hz, trajExeCB/controller at 100 Hz,
+    detector history at 30 Hz (mpcNavigation.cpp:176-188, fakeDetector.cpp:69).
+    Our engine uses a 100 Hz base tick with an outer scan over 10 Hz MPC
+    cycles and an inner loop of `ticks_per_cycle` control ticks.
+    """
+
+    control_dt: float = 0.01
+    ticks_per_cycle: int = 10            # MPC every 10 control ticks (10 Hz)
+    hist_ticks: Tuple[int, ...] = (0, 3, 6)  # ~30 Hz history snapshots per cycle
+    timeout: float = 100.0               # run_mpc_benchmark.py --timeout default
+    goal_dist_threshold: float = 0.5     # run_mpc_benchmark.py:269
+    goal_vel_threshold: float = 0.1
+    goal_stop_threshold: float = 0.3     # replanCheckCB goal-dist (mpcNavigation.cpp:423)
+    perfect_tracking: bool = False       # True: odom == commanded target
+    vel_limit: float = 5.0               # DYNUS Linf violation limits
+    acc_limit: float = 20.0
+    jerk_limit: float = 100.0
+    violation_tol: float = 1e-3
+
+    @property
+    def num_cycles(self) -> int:
+        cycle_dt = self.control_dt * self.ticks_per_cycle
+        return int(round(self.timeout / cycle_dt))
+
+
+@dataclass(frozen=True)
+class IntentMPCConfig:
+    """Top-level bundle."""
+
+    world: WorldConfig = WorldConfig()
+    detector: DetectorConfig = DetectorConfig()
+    predictor: PredictorConfig = PredictorConfig()
+    planner: PlannerConfig = PlannerConfig()
+    control: ControlConfig = ControlConfig()
+    engine: EngineConfig = EngineConfig()
+    start: Tuple[float, float, float] = (0.0, 0.0, 2.0)
+    goal: Tuple[float, float, float] = (105.0, 0.0, 2.0)
+
+    def replace(self, **kwargs) -> "IntentMPCConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def small_config(num_obstacles: int = 8, horizon: int = 10, timeout: float = 2.0,
+                 max_obstacles: int = 8, hist: int = 12) -> IntentMPCConfig:
+    """A tiny config for tests and dry runs."""
+    c = IntentMPCConfig()
+    return c.replace(
+        world=dataclasses.replace(c.world, num_obstacles=num_obstacles),
+        detector=dataclasses.replace(c.detector, history_size=hist),
+        predictor=dataclasses.replace(c.predictor, num_pred=horizon),
+        planner=dataclasses.replace(
+            c.planner, horizon=horizon, max_obstacles=max_obstacles,
+            solver=dataclasses.replace(c.planner.solver, max_iter=30)),
+        engine=dataclasses.replace(c.engine, timeout=timeout),
+    )
