@@ -43,7 +43,7 @@ def test_scenario_generation_counts():
     # static split: 35% pillars (0.4,0.4,4.0) then walls (0.4,4.0,0.4)
     n_static = 40 - n_dyn
     n_vert = sum(1 for i in range(n_static) if i < n_static * 0.35)
-    pillars = (bbox[stat] == np.array([0.4, 0.4, 4.0])).all(-1).sum()
+    pillars = np.isclose(bbox[stat], np.array([0.4, 0.4, 4.0])).all(-1).sum()
     assert pillars == n_vert
     # same seed -> identical world; different seed -> different
     sc2 = generate_scenario(seed=3, cfg=cfg)
