@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark: full-horizon MPC solve throughput per chip.
+
+Runs the DYNUS-matched closed loop (200-obstacle trefoil world, horizon-30
+MPC with 6 intent-combination candidate QPs per replan) for a batch of
+scenarios on one chip and measures candidate-QP solves per second.
+
+North-star (BASELINE.md): >= 1000 full-horizon MPC solves/s/chip.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32,
+                    help="scenarios per chip (6 candidate QPs each/cycle)")
+    ap.add_argument("--cycles", type=int, default=10,
+                    help="timed MPC cycles")
+    ap.add_argument("--obstacles", type=int, default=200)
+    ap.add_argument("--iters", type=int, default=None,
+                    help="ADMM iterations per solve (default: config)")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force jax platform (e.g. cpu)")
+    args = ap.parse_args()
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import dataclasses
+    from intent_mpc_tpu.utils.config import IntentMPCConfig
+    from intent_mpc_tpu.models.world import straight_line_ref_traj
+    from intent_mpc_tpu.parallel import sharding as sh
+    from intent_mpc_tpu.engine import closed_loop as cl
+    from intent_mpc_tpu.models.occupancy import empty_grid
+
+    cfg = IntentMPCConfig()
+    cfg = cfg.replace(world=dataclasses.replace(
+        cfg.world, num_obstacles=args.obstacles))
+
+    ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)
+    traj_len = jnp.asarray(ref.shape[0])
+    occ = empty_grid()
+
+    scenarios = sh.stack_scenarios(cfg, range(args.batch))
+
+    @jax.jit
+    def run_cycles(carry, start):
+        def step(c, i):
+            c2, _ = jax.vmap(
+                lambda cc, s: cl.episode_step(cfg, s, ref, traj_len, occ, cc,
+                                              i, solver_iters=args.iters),
+                in_axes=(0, 0))(c, scenarios)
+            return c2, None
+        carry, _ = jax.lax.scan(step, carry,
+                                start + jnp.arange(args.cycles))
+        return carry
+
+    carry0 = jax.vmap(lambda s: cl.init_carry(cfg, s))(scenarios)
+
+    # warmup / compile
+    t0 = time.time()
+    carry = run_cycles(carry0, jnp.asarray(0, jnp.int32))
+    jax.block_until_ready(carry)
+    compile_time = time.time() - t0
+
+    t0 = time.time()
+    carry = run_cycles(carry, jnp.asarray(args.cycles, jnp.int32))
+    jax.block_until_ready(carry)
+    elapsed = time.time() - t0
+
+    solves = args.batch * 6 * args.cycles
+    sps = solves / elapsed
+    cycle_ms = elapsed / args.cycles * 1000.0
+
+    print(json.dumps({
+        "metric": "mpc_solves_per_sec_per_chip",
+        "value": round(sps, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(sps / 1000.0, 3),
+    }))
+    print(f"# batch={args.batch} cycles={args.cycles} "
+          f"obstacles={args.obstacles} elapsed={elapsed:.3f}s "
+          f"cycle={cycle_ms:.1f}ms compile={compile_time:.1f}s "
+          f"device={jax.devices()[0].platform}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

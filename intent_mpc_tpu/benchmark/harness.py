@@ -1,0 +1,163 @@
+"""Benchmark harness: multi-trial driver + aggregation.
+
+Replaces scripts/run_mpc_benchmark.py (ROS-process lifecycle + monitor
+node) with a batched device run: every seeded trial is a scenario in one
+vmapped/sharded batch, so "run 50 trials" is one device program instead of
+50 roslaunch cycles. Per-trial metrics mirror BenchmarkMetrics
+(run_mpc_benchmark.py:52-149); aggregation mirrors
+analyze_mpc_benchmark.py:88-180.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import os
+import time
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intent_mpc_tpu.engine import closed_loop as cl
+from intent_mpc_tpu.models.world import straight_line_ref_traj
+from intent_mpc_tpu.parallel import sharding as sh
+from intent_mpc_tpu.utils.config import IntentMPCConfig
+
+
+def run_trials(cfg: IntentMPCConfig, seeds: Sequence[int],
+               mesh=None, solver_iters: Optional[int] = None,
+               num_cycles: Optional[int] = None) -> List[dict]:
+    """Run one trial per seed (batched on device); returns per-trial rows."""
+    ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)
+    traj_len = jnp.asarray(ref.shape[0])
+    scenarios = sh.stack_scenarios(cfg, seeds)
+    metrics, _ = sh.batch_rollout(cfg, scenarios, ref, traj_len, mesh=mesh,
+                                  solver_iters=solver_iters,
+                                  num_cycles=num_cycles)
+    rows = []
+    m = jax.tree.map(np.asarray, metrics)
+    straight = float(np.linalg.norm(np.asarray(cfg.goal) - np.asarray(cfg.start)))
+    dt = cfg.engine.control_dt
+    for i, seed in enumerate(seeds):
+        pl = float(m.path_length[i])
+        nj = max(int(m.jerk_samples[i]), 1)
+        rows.append({
+            "trial_id": i,
+            "seed": int(seed),
+            "num_obstacles": cfg.world.num_obstacles,
+            "dynamic_ratio": cfg.world.dynamic_ratio,
+            "goal_reached": bool(m.goal_reached[i]),
+            "timeout_reached": not bool(m.goal_reached[i]),
+            "collision": bool(m.collision[i]),
+            "collision_count": int(m.collision_count[i]),
+            "flight_travel_time": float(m.travel_time[i]),
+            "path_length": pl,
+            "straight_line_distance": straight,
+            "path_efficiency": pl / straight if straight > 0 else 0.0,
+            "min_distance_to_obstacles": float(m.min_obstacle_dist[i]),
+            "vel_violation_count": int(m.vel_violations[i]),
+            "acc_violation_count": int(m.acc_violations[i]),
+            "jerk_violation_count": int(m.jerk_violations[i]),
+            "vel_total_samples": int(m.samples[i]),
+            "acc_total_samples": int(m.samples[i]),
+            "jerk_total_samples": int(m.jerk_samples[i]),
+            "max_velocity": float(m.max_velocity[i]),
+            "max_acceleration": float(m.max_acceleration[i]),
+            "avg_velocity": float(m.sum_velocity[i]) / max(int(m.n_vel_valid[i]), 1),
+            "jerk_rms": float(np.sqrt(m.jerk_sq_sum[i] / nj)),
+            "jerk_integral": float(m.jerk_abs_sum[i]) * dt,
+            "mpc_solve_count": int(m.solve_attempts[i]),
+            "mpc_solve_successes": int(m.solve_successes[i]),
+        })
+    return rows
+
+
+def aggregate(rows: List[dict]) -> dict:
+    """Success/collision/violation aggregates (analyze_mpc_benchmark.py:88-180)."""
+    n = len(rows)
+    if n == 0:
+        return {}
+    succ = [r for r in rows if r["goal_reached"]]
+
+    def mean(key, subset=None):
+        src = subset if subset is not None else rows
+        vals = [r[key] for r in src]
+        return float(np.mean(vals)) if vals else 0.0
+
+    def rate(cnt_key, tot_key):
+        c = sum(r[cnt_key] for r in rows)
+        t = sum(r[tot_key] for r in rows)
+        return c / t if t else 0.0
+
+    return {
+        "num_trials": n,
+        "success_rate": len(succ) / n,
+        "collision_rate": sum(r["collision"] for r in rows) / n,
+        "timeout_rate": sum(r["timeout_reached"] for r in rows) / n,
+        "avg_travel_time": mean("flight_travel_time", succ),
+        "avg_path_length": mean("path_length", succ),
+        "avg_path_efficiency": mean("path_efficiency", succ),
+        "avg_min_obstacle_distance": mean("min_distance_to_obstacles"),
+        "vel_violation_rate": rate("vel_violation_count", "vel_total_samples"),
+        "acc_violation_rate": rate("acc_violation_count", "acc_total_samples"),
+        "jerk_violation_rate": rate("jerk_violation_count", "jerk_total_samples"),
+        "avg_jerk_rms": mean("jerk_rms"),
+        "avg_max_velocity": mean("max_velocity"),
+        "solver_success_rate": (
+            sum(r["mpc_solve_successes"] for r in rows)
+            / max(sum(r["mpc_solve_count"] for r in rows), 1)),
+    }
+
+
+def save_csv(rows: List[dict], path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+
+
+def save_json(obj, path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2)
+
+
+def main():  # pragma: no cover
+    import argparse
+    ap = argparse.ArgumentParser(description="Intent-MPC TPU benchmark")
+    ap.add_argument("--trials", type=int, default=10)
+    ap.add_argument("--seed0", type=int, default=0)
+    ap.add_argument("--obstacles", type=int, default=200)
+    ap.add_argument("--dynamic-ratio", type=float, default=0.65)
+    ap.add_argument("--timeout", type=float, default=100.0)
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--out", type=str, default="benchmark_results")
+    ap.add_argument("--platform", type=str, default=None)
+    args = ap.parse_args()
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    cfg = IntentMPCConfig()
+    cfg = cfg.replace(
+        world=dataclasses.replace(cfg.world, num_obstacles=args.obstacles,
+                                  dynamic_ratio=args.dynamic_ratio),
+        engine=dataclasses.replace(cfg.engine, timeout=args.timeout))
+
+    t0 = time.time()
+    rows = run_trials(cfg, range(args.seed0, args.seed0 + args.trials),
+                      solver_iters=args.iters)
+    elapsed = time.time() - t0
+    agg = aggregate(rows)
+    agg["wall_time_s"] = elapsed
+    save_csv(rows, os.path.join(args.out, "trials.csv"))
+    save_json(agg, os.path.join(args.out, "summary.json"))
+    print(json.dumps(agg, indent=2))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,314 @@
+"""Closed-loop simulation engine: world -> detector -> predictor -> MPC ->
+controller -> dynamics, as one jitted lax.scan per episode.
+
+Replaces the reference's multi-process ROS loop (mpcNavigation timers
+:176-188, tracking_controller 100 Hz cmdCB, dynus obstacle publisher,
+run_mpc_benchmark.py monitor) with a deterministic two-level loop:
+
+  outer scan: 10 Hz MPC cycles (mpcCB, mpcNavigation.cpp:222-370)
+  inner unrolled 10 ticks: 100 Hz trajectory execution (trajExeCB :499-567),
+    PID tracking control (acceleration mode), double-integrator dynamics,
+    ~30 Hz detector history pushes (ticks 0/3/6), and the benchmark
+    monitor's per-sample metric updates (run_mpc_benchmark.py:224-385).
+
+Episodes vmap over scenarios; the candidate axis batches inside the MPC.
+Timing deviations from the ROS reference (wall-clock, jittered) are
+deterministic here: the predictor runs at MPC time (its 30 Hz timer output
+was consumed at 10 Hz anyway), and the target stream is sampled at 100 Hz
+(the reference publishes at 200 Hz from a 100 Hz-updated buffer).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from intent_mpc_tpu.models import detector as det
+from intent_mpc_tpu.models import mpc as mpclib
+from intent_mpc_tpu.models import predictor as predlib
+from intent_mpc_tpu.models.controller import (ControllerState, acc_command,
+                                              init_controller)
+from intent_mpc_tpu.models.occupancy import OccupancyGrid, empty_grid
+from intent_mpc_tpu.models.world import Scenario, obstacle_state
+from intent_mpc_tpu.utils.config import IntentMPCConfig
+
+
+class Metrics(NamedTuple):
+    goal_reached: jnp.ndarray
+    travel_time: jnp.ndarray
+    collision: jnp.ndarray
+    collision_count: jnp.ndarray
+    min_obstacle_dist: jnp.ndarray
+    path_length: jnp.ndarray
+    vel_violations: jnp.ndarray
+    acc_violations: jnp.ndarray
+    jerk_violations: jnp.ndarray
+    samples: jnp.ndarray
+    jerk_samples: jnp.ndarray
+    max_velocity: jnp.ndarray
+    max_acceleration: jnp.ndarray
+    sum_velocity: jnp.ndarray
+    n_vel_valid: jnp.ndarray
+    jerk_sq_sum: jnp.ndarray
+    jerk_abs_sum: jnp.ndarray
+    solve_attempts: jnp.ndarray
+    solve_successes: jnp.ndarray
+
+
+def init_metrics() -> Metrics:
+    z = jnp.asarray(0.0)
+    zi = jnp.asarray(0, jnp.int32)
+    return Metrics(
+        goal_reached=jnp.asarray(False), travel_time=z,
+        collision=jnp.asarray(False), collision_count=zi,
+        min_obstacle_dist=jnp.asarray(jnp.inf), path_length=z,
+        vel_violations=zi, acc_violations=zi, jerk_violations=zi,
+        samples=zi, jerk_samples=zi,
+        max_velocity=z, max_acceleration=z, sum_velocity=z, n_vel_valid=zi,
+        jerk_sq_sum=z, jerk_abs_sum=z,
+        solve_attempts=zi, solve_successes=zi)
+
+
+class EngineCarry(NamedTuple):
+    pos: jnp.ndarray
+    vel: jnp.ndarray
+    detector: det.DetectorState
+    planner: mpclib.PlannerState
+    controller: ControllerState
+    traj_age: jnp.ndarray        # cycles since the executing solution's start
+    traj_ready: jnp.ndarray      # bool (mpcTrajectoryReady_)
+    prev_target_acc: jnp.ndarray
+    has_prev_target: jnp.ndarray
+    stopping: jnp.ndarray        # replanCheck goal-stop triggered
+    stop_pos: jnp.ndarray
+    done: jnp.ndarray            # monitor goal criterion met
+    metrics: Metrics
+
+
+def init_carry(cfg: IntentMPCConfig, scenario: Scenario) -> EngineCarry:
+    pos0, _ = obstacle_state(scenario, jnp.asarray(0.0))
+    start = jnp.asarray(cfg.start)
+    return EngineCarry(
+        pos=start, vel=jnp.zeros(3),
+        detector=det.init_detector(scenario.origin.shape[0], cfg.detector, pos0),
+        planner=mpclib.init_planner_state(cfg.planner),
+        controller=init_controller(),
+        traj_age=jnp.asarray(0, jnp.int32),
+        traj_ready=jnp.asarray(False),
+        prev_target_acc=jnp.zeros(3),
+        has_prev_target=jnp.asarray(False),
+        stopping=jnp.asarray(False),
+        stop_pos=start,
+        done=jnp.asarray(False),
+        metrics=init_metrics())
+
+
+def _aabb_distance(p: jnp.ndarray, centers: jnp.ndarray,
+                   bbox: jnp.ndarray) -> jnp.ndarray:
+    """Euclidean distance from point to each box surface (0 inside) —
+    run_mpc_benchmark.py:352-381 check_collisions."""
+    gap = jnp.maximum(jnp.abs(p[None, :] - centers) - bbox / 2.0, 0.0)
+    return jnp.linalg.norm(gap, axis=-1)
+
+
+def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
+                 ref_traj: jnp.ndarray, traj_len: jnp.ndarray,
+                 occ: OccupancyGrid, carry: EngineCarry, cycle_idx: jnp.ndarray,
+                 solver_iters: Optional[int] = None
+                 ) -> Tuple[EngineCarry, jnp.ndarray]:
+    """One 10 Hz MPC cycle + its 10 control ticks."""
+    ecfg = cfg.engine
+    cycle_dt = ecfg.control_dt * ecfg.ticks_per_cycle
+    t0 = cycle_idx.astype(jnp.float32) * cycle_dt
+    goal = jnp.asarray(cfg.goal)
+    active = ~carry.done
+
+    # ---- detector updates at cycle start ----
+    obs_pos0, _ = obstacle_state(scenario, t0)
+    d = det.fd_update(cfg.detector, carry.detector, obs_pos0, t0)
+    d = det.hist_push(d, obs_pos0)
+
+    pos_h, vel_h, acc_h, size_h, hist_len, visible = det.query_history(
+        cfg.detector, d, scenario.bbox, carry.pos)
+
+    # ---- predictor + MPC (mpcCB :290-365) ----
+    prediction = predlib.predict(cfg.predictor, pos_h, vel_h, acc_h, size_h,
+                                 hist_len, occ)
+    plan_out = mpclib.make_plan_with_pred(
+        cfg.planner, carry.planner, carry.pos, carry.vel, ref_traj, traj_len,
+        prediction, visible, solver_iters)
+
+    run_mpc = active & ~carry.stopping
+    planner = jax.tree.map(
+        lambda new, old: jnp.where(run_mpc, new, old),
+        plan_out.state, carry.planner)
+    valid = plan_out.valid & run_mpc
+    traj_ready = carry.traj_ready | valid
+    traj_age = jnp.where(valid, 0, carry.traj_age + 1)
+
+    metrics = carry.metrics._replace(
+        solve_attempts=carry.metrics.solve_attempts + run_mpc.astype(jnp.int32),
+        solve_successes=carry.metrics.solve_successes + valid.astype(jnp.int32))
+
+    # ---- goal-stop trigger (replanCheckCB :414-456) ----
+    near_goal = (jnp.linalg.norm(carry.pos - goal) <= ecfg.goal_stop_threshold) \
+        & (t0 >= 3.0)
+    stopping = carry.stopping | (near_goal & active)
+    stop_pos = jnp.where(carry.stopping, carry.stop_pos, carry.pos)
+
+    pos, vel = carry.pos, carry.vel
+    ctrl = carry.controller
+    prev_acc = carry.prev_target_acc
+    has_prev = carry.has_prev_target
+    done = carry.done
+
+    H = cfg.planner.horizon
+    end_time = H * cfg.planner.ts
+
+    for k in range(ecfg.ticks_per_cycle):
+        tk = t0 + k * ecfg.control_dt
+        t_traj = traj_age.astype(jnp.float32) * cycle_dt + k * ecfg.control_dt
+
+        # ---- target from trajectory (trajExeCB :499-567) ----
+        tp = mpclib.sample_pos(cfg.planner, planner.states_sol, t_traj)
+        tv = mpclib.sample_vel(cfg.planner, planner.states_sol, t_traj)
+        ta = mpclib.sample_acc(cfg.planner, planner.controls_sol, t_traj)
+        past_end = t_traj >= end_time
+        tv = jnp.where(past_end, 0.0, tv)
+        ta = jnp.where(past_end, 0.0, ta)
+        # stop mode or no trajectory: hold position
+        hold = stopping | ~traj_ready
+        hold_pos = jnp.where(stopping, stop_pos, pos)
+        tp = jnp.where(hold, hold_pos, tp)
+        tv = jnp.where(hold, 0.0, tv)
+        ta = jnp.where(hold, 0.0, ta)
+
+        # ---- control + dynamics ----
+        acc_cmd, ctrl_new = acc_command(cfg.control, ctrl, pos, vel, tp, tv,
+                                        ta, ecfg.control_dt)
+        ctrl = jax.tree.map(lambda n, o: jnp.where(active, n, o), ctrl_new, ctrl)
+        if ecfg.perfect_tracking:
+            new_pos, new_vel = tp, tv
+        else:
+            new_vel = vel + acc_cmd * ecfg.control_dt
+            new_pos = pos + vel * ecfg.control_dt \
+                + 0.5 * acc_cmd * ecfg.control_dt ** 2
+        step_len = jnp.linalg.norm(new_pos - pos)
+        pos = jnp.where(active, new_pos, pos)
+        vel = jnp.where(active, new_vel, vel)
+
+        # ---- world state at this tick ----
+        obs_pos_t, _ = obstacle_state(scenario, tk + ecfg.control_dt)
+        if k == 3 or k == 6:   # ~30 Hz history pushes
+            d2 = det.fd_update(cfg.detector, d, obs_pos_t, tk + ecfg.control_dt)
+            d = det.hist_push(d2, obs_pos_t)
+
+        # ---- monitor updates (masked once done) ----
+        m = metrics
+        dist_boxes = _aabb_distance(pos, obs_pos_t, scenario.bbox)
+        min_d = jnp.min(dist_boxes)
+        hit = jnp.any(dist_boxes <= 0.0)
+        tol = ecfg.violation_tol
+        v_viol = jnp.any(jnp.abs(tv) > ecfg.vel_limit + tol)
+        a_viol = jnp.any(jnp.abs(ta) > ecfg.acc_limit + tol)
+        jerk = (ta - prev_acc) / ecfg.control_dt
+        j_viol = jnp.any(jnp.abs(jerk) > ecfg.jerk_limit + tol) & has_prev
+        jmag = jnp.linalg.norm(jerk)
+        vmag = jnp.linalg.norm(tv)
+        amag = jnp.linalg.norm(ta)
+
+        upd = active
+        ui = upd.astype(jnp.int32)
+        m = m._replace(
+            min_obstacle_dist=jnp.where(upd, jnp.minimum(m.min_obstacle_dist, min_d), m.min_obstacle_dist),
+            collision=m.collision | (hit & upd),
+            collision_count=m.collision_count + (hit & upd).astype(jnp.int32),
+            path_length=m.path_length + jnp.where(upd, step_len, 0.0),
+            vel_violations=m.vel_violations + (v_viol & upd).astype(jnp.int32),
+            acc_violations=m.acc_violations + (a_viol & upd).astype(jnp.int32),
+            jerk_violations=m.jerk_violations + (j_viol & upd).astype(jnp.int32),
+            samples=m.samples + ui,
+            jerk_samples=m.jerk_samples + (has_prev & upd).astype(jnp.int32),
+            max_velocity=jnp.where(upd, jnp.maximum(m.max_velocity, vmag), m.max_velocity),
+            max_acceleration=jnp.where(upd, jnp.maximum(m.max_acceleration, amag), m.max_acceleration),
+            sum_velocity=m.sum_velocity + jnp.where(upd & (vmag > 0.01), vmag, 0.0),
+            n_vel_valid=m.n_vel_valid + (upd & (vmag > 0.01)).astype(jnp.int32),
+            jerk_sq_sum=m.jerk_sq_sum + jnp.where(upd & has_prev, jmag ** 2, 0.0),
+            jerk_abs_sum=m.jerk_abs_sum + jnp.where(upd & has_prev, jmag, 0.0),
+        )
+        metrics = m
+        prev_acc = jnp.where(active, ta, prev_acc)
+        has_prev = has_prev | active
+
+        # goal criterion (run_mpc_benchmark.py:268-276)
+        reached = (jnp.linalg.norm(pos - goal) < ecfg.goal_dist_threshold) \
+            & (jnp.linalg.norm(vel) < ecfg.goal_vel_threshold) & active
+        metrics = metrics._replace(
+            goal_reached=metrics.goal_reached | reached,
+            travel_time=jnp.where(reached & ~done, tk + ecfg.control_dt,
+                                  metrics.travel_time))
+        done = done | reached
+
+        active = ~done
+
+    new_carry = EngineCarry(
+        pos=pos, vel=vel, detector=d, planner=planner, controller=ctrl,
+        traj_age=traj_age, traj_ready=traj_ready,
+        prev_target_acc=prev_acc, has_prev_target=has_prev,
+        stopping=stopping, stop_pos=stop_pos, done=done, metrics=metrics)
+    return new_carry, pos
+
+
+def run_episode(cfg: IntentMPCConfig, scenario: Scenario,
+                ref_traj: jnp.ndarray, traj_len: jnp.ndarray,
+                occ: Optional[OccupancyGrid] = None,
+                solver_iters: Optional[int] = None,
+                num_cycles: Optional[int] = None,
+                record_path: bool = False):
+    """Run one full episode; returns (final EngineCarry, path (C,3) or None)."""
+    occ = occ if occ is not None else empty_grid()
+    n = num_cycles if num_cycles is not None else cfg.engine.num_cycles
+    carry0 = init_carry(cfg, scenario)
+
+    def step(c, i):
+        c2, p = episode_step(cfg, scenario, ref_traj, traj_len, occ, c, i,
+                             solver_iters)
+        return c2, (p if record_path else None)
+
+    carry, path = jax.lax.scan(step, carry0, jnp.arange(n))
+    return carry, path
+
+
+def summarize(cfg: IntentMPCConfig, carry: EngineCarry) -> dict:
+    """Host-side metric summary mirroring BenchmarkMetrics fields."""
+    m = carry.metrics
+    straight = float(jnp.linalg.norm(jnp.asarray(cfg.goal) - jnp.asarray(cfg.start)))
+    pl = float(m.path_length)
+    dt = cfg.engine.control_dt
+    n_j = max(int(m.jerk_samples), 1)
+    return {
+        "goal_reached": bool(m.goal_reached),
+        "timeout_reached": not bool(m.goal_reached),
+        "collision": bool(m.collision),
+        "collision_count": int(m.collision_count),
+        "flight_travel_time": float(m.travel_time),
+        "path_length": pl,
+        "straight_line_distance": straight,
+        "path_efficiency": pl / straight if straight > 0 else 0.0,
+        "min_distance_to_obstacles": float(m.min_obstacle_dist),
+        "vel_violation_count": int(m.vel_violations),
+        "acc_violation_count": int(m.acc_violations),
+        "jerk_violation_count": int(m.jerk_violations),
+        "vel_total_samples": int(m.samples),
+        "acc_total_samples": int(m.samples),
+        "jerk_total_samples": int(m.jerk_samples),
+        "max_velocity": float(m.max_velocity),
+        "max_acceleration": float(m.max_acceleration),
+        "avg_velocity": float(m.sum_velocity) / max(int(m.n_vel_valid), 1),
+        "jerk_rms": float(jnp.sqrt(m.jerk_sq_sum / n_j)),
+        "jerk_integral": float(m.jerk_abs_sum) * dt,
+        "mpc_solve_count": int(m.solve_attempts),
+        "mpc_solve_successes": int(m.solve_successes),
+    }

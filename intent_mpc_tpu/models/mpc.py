@@ -1,0 +1,343 @@
+"""MPC planner: intent-weighted multi-hypothesis candidate solve & selection.
+
+TPU-native rebuild of trajPlanner::mpcPlanner (trajectory_planner/
+mpcPlanner.cpp). The reference solves <=6 candidate QPs sequentially under
+a 0.15 s wall-clock budget (makePlanWithPred, :571-661); here all 6
+candidates are a batch axis solved simultaneously by the vmapped ADMM
+solver, and the wall-clock budget becomes a per-solve iteration budget.
+
+Reference quirks reproduced deliberately:
+  * candidate ordering sorts intent combos by descending probability, but
+    evaluateTraj indexes the weight vector with the *sorted position*
+    (makePlanWithPred pushes loop index i as intentType, :622, while the
+    weight vector in evaluateTraj :868-873 is indexed by original combo
+    id). We replicate that weight permutation.
+  * findClosestObstacle's 10-step loop reads statesSol[0]/statesSol[1]
+    only (:689-697), so the score reduces to
+    d * (a - cos(trajDir - obsDir)) * sum_j exp(-j); the constant factor
+    cannot change the argmin and is dropped.
+  * the first solve of an episode runs with no obstacle constraints
+    (firstTime branch, :593-602): we zero the obstacle-active mask, which
+    makes all 6 candidates identical to the unconstrained solve.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from intent_mpc_tpu.models.predictor import FORWARD, LEFT, RIGHT, STOP, Prediction
+from intent_mpc_tpu.ops import qp as qplib
+from intent_mpc_tpu.ops.admm import admm_solve
+from intent_mpc_tpu.utils.config import PlannerConfig
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class PlannerState(NamedTuple):
+    """Warm-start / bookkeeping carry (mpcPlanner member state)."""
+
+    states_sol: jnp.ndarray     # (H, 8) previous solution states
+    controls_sol: jnp.ndarray   # (W, 5)
+    first_time: jnp.ndarray     # bool  (mpcPlanner::firstTime_)
+    has_solution: jnp.ndarray   # bool  (any successful solve yet)
+    last_ref_start: jnp.ndarray  # int32 (lastRefStartIdx_)
+    xref: jnp.ndarray           # (H, 3) last reference window (ref_)
+
+
+class PlanOutput(NamedTuple):
+    state: PlannerState
+    valid: jnp.ndarray          # bool: this cycle produced a usable new traj
+    best_idx: jnp.ndarray       # int32 chosen candidate (sorted order)
+    candidate_states: jnp.ndarray  # (6, H, 8)
+    solved: jnp.ndarray         # (6,) bool
+    prim_res: jnp.ndarray       # (6,)
+
+
+def init_planner_state(cfg: PlannerConfig) -> PlannerState:
+    H, W = cfg.horizon, cfg.mpc_window
+    return PlannerState(
+        states_sol=jnp.zeros((H, 8)),
+        controls_sol=jnp.zeros((W, 5)),
+        first_time=jnp.asarray(True),
+        has_solution=jnp.asarray(False),
+        last_ref_start=jnp.asarray(0, jnp.int32),
+        xref=jnp.zeros((H, 3)),
+    )
+
+
+def reference_window(cfg: PlannerConfig, input_traj: jnp.ndarray,
+                     traj_len: jnp.ndarray, curr_pos: jnp.ndarray,
+                     last_start: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """getReferenceTraj (mpcPlanner.cpp:1199-1231): windowed nearest-point
+    search <= 3 s forward of the monotone last start index; pads the last
+    waypoint. Returns (xref (H,3), new_start)."""
+    L = input_traj.shape[0]
+    max_fwd = int(round(cfg.max_ref_forward_time / cfg.ts))
+    idxs = last_start + jnp.arange(max_fwd)
+    in_range = idxs < traj_len
+    pts = input_traj[jnp.clip(idxs, 0, L - 1)]
+    d = jnp.linalg.norm(pts - curr_pos[None, :], axis=-1)
+    d = jnp.where(in_range, d, jnp.inf)
+    start = last_start + jnp.argmin(d).astype(jnp.int32)
+    ref_idx = jnp.clip(start + jnp.arange(cfg.horizon), 0, traj_len - 1)
+    xref = input_traj[jnp.clip(ref_idx, 0, L - 1)]
+    return xref, start
+
+
+def find_closest_obstacle(cfg: PlannerConfig, state: PlannerState,
+                          curr_pos: jnp.ndarray, nominal_pos: jnp.ndarray,
+                          visible: jnp.ndarray) -> jnp.ndarray:
+    """findClosestObstacle (mpcPlanner.cpp:663-708). nominal_pos (O,3) is
+    predPos[i][FORWARD][0] (updatePredObstacles freezes it, :351-359)."""
+    d = jnp.linalg.norm(curr_pos[None, :] - nominal_pos, axis=-1)   # (O,)
+
+    p0 = state.states_sol[0, 0:3]
+    p1 = state.states_sol[1, 0:3]
+    traj_dir = jnp.arctan2(p1[1] - p0[1], p1[0] - p0[0])
+    obs_dir = jnp.arctan2(nominal_pos[:, 1] - p0[1], nominal_pos[:, 0] - p0[0])
+    d_sol = jnp.linalg.norm(p0[None, :] - nominal_pos, axis=-1)
+    a = cfg.direction_weight_a
+    directional = d_sol * (a - jnp.cos(traj_dir - obs_dir))
+
+    score = jnp.where(state.first_time | ~state.has_solution, d, directional)
+    score = jnp.where(visible, score, jnp.inf)
+    return jnp.argmin(score).astype(jnp.int32)
+
+
+def intent_comb_weights(prob: jnp.ndarray) -> jnp.ndarray:
+    """Per-combo weights of the closest obstacle (getIntentComb :722-727 /
+    evaluateTraj :868-873): [STOP, LEFT, RIGHT, FORWARD, max(L,F), max(R,F)]."""
+    return jnp.stack([
+        prob[STOP], prob[LEFT], prob[RIGHT], prob[FORWARD],
+        jnp.maximum(prob[LEFT], prob[FORWARD]),
+        jnp.maximum(prob[RIGHT], prob[FORWARD]),
+    ])
+
+
+# combo -> (first series intent, second series intent or -1)
+_COMBO_FIRST = jnp.array([STOP, LEFT, RIGHT, FORWARD, LEFT, RIGHT])
+_COMBO_SECOND = jnp.array([-1, -1, -1, -1, FORWARD, FORWARD])
+
+
+def build_candidates(cfg: PlannerConfig, pred: Prediction, visible: jnp.ndarray,
+                     closest: jnp.ndarray):
+    """Per-candidate obstacle series arrays (getIntentComb :710-769).
+
+    Slot layout (K = O + 1): slot j<O holds obstacle j — the closest
+    obstacle carries the combo's first intent series, every other visible
+    obstacle its argmax-intent series; slot O holds the combo's second
+    series of the closest obstacle (combos 4/5 only).
+
+    Returns pos (6, H, K, 3), size (6, H, K, 3), active (6, K) — series
+    indexed by prediction step (H <= P+1).
+    """
+    O = pred.pos.shape[0]
+    H = cfg.horizon
+    am = jnp.argmax(pred.intent_prob, axis=-1)                    # (O,)
+    base_pos = jnp.take_along_axis(
+        pred.pos, am[:, None, None, None], axis=1)[:, 0, :H]      # (O,H,3)
+    base_size = jnp.take_along_axis(
+        pred.size, am[:, None, None, None], axis=1)[:, 0, :H]
+
+    cl_pos = pred.pos[closest, :, :H]                             # (4,H,3)
+    cl_size = pred.size[closest, :, :H]
+
+    first_pos = cl_pos[_COMBO_FIRST]                              # (6,H,3)
+    first_size = cl_size[_COMBO_FIRST]
+    second_pos = cl_pos[jnp.maximum(_COMBO_SECOND, 0)]
+    second_size = cl_size[jnp.maximum(_COMBO_SECOND, 0)]
+    has_second = _COMBO_SECOND >= 0                               # (6,)
+
+    is_cl = jnp.arange(O) == closest                              # (O,)
+    pos = jnp.where(is_cl[None, :, None, None],
+                    first_pos[:, None], base_pos[None])           # (6,O,H,3)
+    size = jnp.where(is_cl[None, :, None, None],
+                     first_size[:, None], base_size[None])
+    pos = jnp.concatenate([pos, second_pos[:, None]], axis=1)     # (6,O+1,H,3)
+    size = jnp.concatenate([size, second_size[:, None]], axis=1)
+
+    active = jnp.broadcast_to(visible[None, :], (6, O))
+    active = jnp.concatenate(
+        [active, (has_second & visible[closest])[:, None]], axis=1)  # (6,O+1)
+    # (6, H, K, 3) step-major like the QP expects
+    return (jnp.swapaxes(pos, 1, 2), jnp.swapaxes(size, 1, 2),
+            active.astype(pos.dtype))
+
+
+def _scores(cfg: PlannerConfig, cand_states, prev_states, have_prev, xref,
+            obs_pos, obs_size, obs_active):
+    """getTrajectoryScore components (mpcPlanner.cpp:771-848), vectorized
+    over the candidate axis.
+
+    cand_states (6,H,8); obs_pos/size (6,H,K,3); obs_active (6,K)."""
+    H = cfg.horizon
+    p = cand_states[:, :, 0:3]                                    # (6,H,3)
+
+    # consistency (:780-800): mean over first 10 steps vs previous solution
+    ncs = min(cfg.consistency_steps, H)
+    dc = jnp.linalg.norm(p[:, :ncs] - prev_states[None, :ncs, 0:3], axis=-1)
+    consistency = jnp.maximum(jnp.mean(dc, axis=-1), 0.1)
+    consistency = jnp.where(have_prev, consistency, 0.0)
+
+    # detour (:802-814): mean distance to reference
+    dd = jnp.linalg.norm(p - xref[None], axis=-1)
+    detour = jnp.maximum(jnp.mean(dd, axis=-1), 0.1)
+
+    # safety (:816-848): tanh-weighted 2D distance to obstacles
+    pz0 = p.at[:, :, 2].set(0.0)
+    op = obs_pos.at[..., 2].set(0.0)
+    d = jnp.linalg.norm(pz0[:, :, None, :] - op, axis=-1)         # (6,H,K)
+    max_size = jnp.sqrt(obs_size[..., 0] ** 2 + obs_size[..., 1] ** 2)
+    w = 1.0 - jnp.tanh(jnp.arctanh(0.5) / (cfg.dynamic_safety_dist + max_size) * d)
+    w = w * obs_active[:, None, :]
+    tw = jnp.sum(w, axis=-1)
+    step_score = jnp.sum(d * w, axis=-1) / jnp.maximum(tw, 1e-12)
+    safety = jnp.mean(step_score, axis=-1)
+    return consistency, detour, safety
+
+
+def evaluate_candidates(cfg: PlannerConfig, consistency, detour, safety,
+                        weights_sorted, solved):
+    """evaluateTraj (mpcPlanner.cpp:850-887): batch-average-normalized
+    scores, weighted by the (position-permuted, see module docstring)
+    intent weights; masked argmax over successful candidates."""
+    ok = solved.astype(consistency.dtype)
+    n_ok = jnp.maximum(jnp.sum(ok), 1.0)
+
+    def avg(v):
+        return jnp.sum(v * ok) / n_ok
+
+    cons = jnp.where(consistency > 0, avg(consistency) / jnp.maximum(consistency, 1e-12), 0.0)
+    det = avg(detour) / jnp.maximum(detour, 1e-12)
+    saf = safety / jnp.maximum(avg(safety), 1e-12)
+    weighted = weights_sorted * (cons + det + saf)
+    weighted = jnp.where(solved, weighted, -jnp.inf)
+    return jnp.argmax(weighted).astype(jnp.int32)
+
+
+def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
+                        curr_pos: jnp.ndarray, curr_vel: jnp.ndarray,
+                        input_traj: jnp.ndarray, traj_len: jnp.ndarray,
+                        pred: Prediction, visible: jnp.ndarray,
+                        max_iter: Optional[int] = None) -> PlanOutput:
+    """One replanning cycle (mpcCB body + makePlanWithPred).
+
+    All 6 intent-combination QPs are assembled and solved as one batch.
+    """
+    H, W = cfg.horizon, cfg.mpc_window
+    O = pred.pos.shape[0]
+
+    xref, new_start = reference_window(
+        cfg, input_traj, traj_len, curr_pos, state.last_ref_start)
+
+    any_visible = jnp.any(visible)
+    nominal = pred.pos[:, FORWARD, 0]                             # (O,3)
+    closest = find_closest_obstacle(cfg, state, curr_pos, nominal, visible)
+
+    cand_pos, cand_size, cand_active = build_candidates(
+        cfg, pred, visible, closest)                              # (6,H,K,*)
+
+    # sort combos by (weight, combo-id) descending (getIntentComb :728-756,
+    # std::sort on pair<double,int> read back-to-front). A stable ascending
+    # argsort reversed gives descending weight with descending id on ties.
+    w6 = intent_comb_weights(pred.intent_prob[closest])
+    order = jnp.flip(jnp.argsort(w6, stable=True))
+    cand_pos = cand_pos[order]
+    cand_size = cand_size[order]
+    cand_active = cand_active[order]
+
+    # firstTime / no-pred: no obstacle constraints (makePlanWithPred :593-602)
+    use_obs = (~state.first_time) & any_visible
+    cand_active = cand_active * use_obs.astype(cand_active.dtype)
+
+    # obstacle param conversion (updateObstacleParam :1148-1197):
+    # semi-axes = size/2 + dynamic safety; yaw 0; all dynamic.
+    qsize = cand_size[:, :W] / 2.0 + cfg.dynamic_safety_dist
+    qpos = cand_pos[:, :W]
+
+    # linearization points: previous solution states or current position
+    lin = jnp.where(state.has_solution,
+                    state.states_sol[:W, 0:3],
+                    jnp.broadcast_to(curr_pos, (W, 3)))
+
+    x0 = jnp.concatenate([curr_pos, curr_vel])
+
+    def build_one(op, os, act):
+        return qplib.build_qp(cfg, x0, xref, op, os,
+                              jnp.zeros(op.shape[:-1]),
+                              jnp.ones(op.shape[:-1]),
+                              jnp.broadcast_to(act[None, :], op.shape[:-1]),
+                              lin)
+    qps = jax.vmap(build_one)(qpos, qsize, cand_active)
+
+    warm = jnp.where(state.has_solution,
+                     qplib.merge_z(state.states_sol, state.controls_sol),
+                     jnp.zeros(cfg.num_vars))
+    warm6 = jnp.broadcast_to(warm, (6,) + warm.shape)
+
+    res = jax.vmap(lambda q, x: admm_solve(cfg, q, x, max_iter))(qps, warm6)
+    states6 = jax.vmap(lambda x: qplib.split_z(x, cfg)[0])(res.x)  # (6,H,8)
+    controls6 = jax.vmap(lambda x: qplib.split_z(x, cfg)[1])(res.x)
+
+    # Acceptance mirrors the reference: it never checks OSQP's status —
+    # solveProblem only fails on workspace errors, so infeasible / timed-out
+    # QPs still return their last ADMM iterate and that iterate is executed
+    # (mpcPlanner.cpp:513-526). We only reject numerically broken results.
+    accepted = jnp.isfinite(res.prim_res) & (res.prim_res < 1e3) \
+        & jnp.all(jnp.isfinite(res.x), axis=-1)
+
+    consistency, detour, safety = _scores(
+        cfg, states6, state.states_sol, state.has_solution & ~state.first_time,
+        xref, cand_pos, cand_size, cand_active)
+
+    # weight permutation quirk: sorted position i gets weight of combo id i
+    best = evaluate_candidates(cfg, consistency, detour, safety, w6, accepted)
+
+    valid = jnp.any(accepted)
+    new_states = jnp.where(valid, states6[best], state.states_sol)
+    new_controls = jnp.where(valid, controls6[best], state.controls_sol)
+
+    new_state = PlannerState(
+        states_sol=new_states,
+        controls_sol=new_controls,
+        first_time=state.first_time & ~valid,
+        has_solution=state.has_solution | valid,
+        last_ref_start=new_start,
+        xref=jnp.where(valid, xref, state.xref),
+    )
+    return PlanOutput(state=new_state, valid=valid, best_idx=best,
+                      candidate_states=states6, solved=res.solved,
+                      prim_res=res.prim_res)
+
+
+# ---------------------------------------------------------------------------
+# Trajectory sampling (getPos/getVel/getAcc/getRef, mpcPlanner.cpp:1257-1324)
+# ---------------------------------------------------------------------------
+
+def sample_pos(cfg: PlannerConfig, states_sol: jnp.ndarray, t) -> jnp.ndarray:
+    return _interp(states_sol[:, 0:3], cfg.ts, t)
+
+
+def sample_vel(cfg: PlannerConfig, states_sol: jnp.ndarray, t) -> jnp.ndarray:
+    return _interp(states_sol[:, 3:6], cfg.ts, t)
+
+
+def sample_acc(cfg: PlannerConfig, controls_sol: jnp.ndarray, t) -> jnp.ndarray:
+    return _interp(controls_sol[:, 0:3], cfg.ts, t)
+
+
+def sample_ref(cfg: PlannerConfig, xref: jnp.ndarray, t) -> jnp.ndarray:
+    return _interp(xref, cfg.ts, t)
+
+
+def _interp(rows: jnp.ndarray, ts: float, t) -> jnp.ndarray:
+    """Linear interpolation with end clamping: idx = floor(t/ts), clamped;
+    next = min(idx+1, N-1)."""
+    n = rows.shape[0]
+    idx = jnp.clip(jnp.floor(t / ts).astype(jnp.int32), 0, n - 1)
+    nxt = jnp.minimum(idx + 1, n - 1)
+    frac = (t - idx.astype(rows.dtype) * ts) / ts
+    return rows[idx] + (rows[nxt] - rows[idx]) * frac

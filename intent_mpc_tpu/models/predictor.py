@@ -16,7 +16,7 @@ C++. We iterate only the well-defined transitions.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -264,14 +264,121 @@ def predict_single(cfg: PredictorConfig, pos0, vel0, acc0, size0,
     return pos, size
 
 
+# ---------------------------------------------------------------------------
+# Closed-form moment path (empty occupancy map — the DYNUS benchmark state)
+#
+# With no occupancy rejection every grid sample is valid, and sample
+# positions factorize: forward p_t = p0 + t*dt * s*dir(a) and turning
+# p_t = p0 + s * D_t(w, e) with D_t = dt * cumsum(dir(angle_tau)). The
+# per-step mean/variance over the full grid therefore reduce to products
+# of 1-D moments — no (samples x steps) arrays are ever materialized.
+# Matches genTraj's statistics exactly (mean over samples; biased variance).
+# ---------------------------------------------------------------------------
+
+def _speed_moments(speeds, mask):
+    cnt = jnp.maximum(jnp.sum(mask), 1.0)
+    es = jnp.sum(speeds * mask) / cnt
+    es2 = jnp.sum(speeds ** 2 * mask) / cnt
+    return es, es2
+
+
+def _forward_moments(cfg: PredictorConfig, pos0, vel0, size0):
+    P = cfg.num_pred
+    na, ns = cfg.num_forward_angle_samples, cfg.max_forward_speed_samples
+    speed = jnp.linalg.norm(vel0[0:2])
+    ang0 = jnp.arctan2(vel0[1], vel0[0])
+    angles = ang0 - cfg.front_angle + cfg.forward_angle_step * jnp.arange(na)
+    speeds = cfg.forward_speed_step * jnp.arange(ns)
+    m = (speeds < 2.0 * speed).astype(pos0.dtype)
+    es, es2 = _speed_moments(speeds, m)
+    d = jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=-1)     # (na,2)
+    ed = jnp.mean(d, axis=0)
+    ed2 = jnp.mean(d ** 2, axis=0)
+    t = (jnp.arange(P + 1, dtype=pos0.dtype) * cfg.dt)[:, None]
+    mean_xy = pos0[None, 0:2] + t * es * ed[None]
+    var_xy = t ** 2 * (es2 * ed2[None] - (es * ed[None]) ** 2)
+    var_xy = jnp.maximum(var_xy, 0.0)
+    mean = jnp.concatenate(
+        [mean_xy, jnp.full((P + 1, 1), pos0[2])], axis=-1)
+    size = jnp.broadcast_to(size0, (P + 1, 3))
+    size = size.at[:, 0:2].add(2.0 * jnp.sqrt(var_xy) * cfg.z_score)
+    return mean, size
+
+
+def _turning_moments(cfg: PredictorConfig, intent, pos0, vel0, size0):
+    P = cfg.num_pred
+    ns = cfg.max_turning_speed_samples
+    nw = cfg.num_turning_angvel_samples
+    ne = cfg.num_turning_end_samples
+    speed = jnp.linalg.norm(vel0[0:2])
+    ang0 = jnp.arctan2(vel0[1], vel0[0])
+    speeds = cfg.turning_speed_step * jnp.arange(ns)
+    m = (speeds < 2.0 * speed).astype(pos0.dtype)
+    es, es2 = _speed_moments(speeds, m)
+
+    if intent == LEFT:
+        end = cfg.front_angle + ang0 + cfg.turning_end_step * jnp.arange(ne)
+        angvel = (jnp.pi / 2) / cfg.max_turning_time \
+            + cfg.turning_angvel_step * jnp.arange(nw)
+    else:
+        end = -(jnp.pi - cfg.front_angle) + ang0 \
+            + cfg.turning_end_step * jnp.arange(ne)
+        angvel = (-jnp.pi / 2) / cfg.min_turning_time \
+            + cfg.turning_angvel_step * jnp.arange(nw)
+
+    t = jnp.arange(P, dtype=pos0.dtype)
+    raw = ang0 + t[None, None, :] * angvel[:, None, None] * cfg.dt
+    ang_t = jnp.minimum(raw, end[None, :, None]) if intent == LEFT \
+        else jnp.maximum(raw, end[None, :, None])
+    dirs = jnp.stack([jnp.cos(ang_t), jnp.sin(ang_t)], axis=-1)    # (nw,ne,P,2)
+    D = jnp.cumsum(dirs, axis=-2) * cfg.dt                         # (nw,ne,P,2)
+    D = jnp.concatenate([jnp.zeros_like(D[:, :, :1]), D], axis=-2)  # t=0
+    ED = jnp.mean(D, axis=(0, 1))                                  # (P+1,2)
+    ED2 = jnp.mean(D ** 2, axis=(0, 1))
+    mean_xy = pos0[None, 0:2] + es * ED
+    var_xy = jnp.maximum(es2 * ED2 - (es * ED) ** 2, 0.0)
+    mean = jnp.concatenate(
+        [mean_xy, jnp.full((P + 1, 1), pos0[2])], axis=-1)
+    size = jnp.broadcast_to(size0, (P + 1, 3))
+    size = size.at[:, 0:2].add(2.0 * jnp.sqrt(var_xy) * cfg.z_score)
+    return mean, size
+
+
+def predict_single_fast(cfg: PredictorConfig, pos0, vel0, acc0, size0):
+    """Moment-based predict_single for the empty-map benchmark path."""
+    speed = jnp.linalg.norm(vel0[0:2])
+    stopped = speed <= cfg.stop_vel
+    stop_pos, stop_size = _stop_prediction(cfg, pos0, vel0, size0)
+    f_pos, f_size = _forward_moments(cfg, pos0, vel0, size0)
+    l_pos, l_size = _turning_moments(cfg, LEFT, pos0, vel0, size0)
+    r_pos, r_size = _turning_moments(cfg, RIGHT, pos0, vel0, size0)
+
+    def pick(pos, size):
+        return (jnp.where(stopped, stop_pos, pos),
+                jnp.where(stopped, stop_size, size))
+
+    fw, lf, rt = pick(f_pos, f_size), pick(l_pos, l_size), pick(r_pos, r_size)
+    pos = jnp.stack([fw[0], lf[0], rt[0], stop_pos], axis=0)
+    size = jnp.stack([fw[1], lf[1], rt[1], stop_size], axis=0)
+    return pos, size
+
+
 def predict(cfg: PredictorConfig, pos_hist, vel_hist, acc_hist, size_hist,
-            hist_len, occ: OccupancyGrid) -> Prediction:
+            hist_len, occ: Optional[OccupancyGrid] = None) -> Prediction:
     """Full predictor over all obstacles (vectorized predictor::predict).
 
     Histories are (O, Hh, 3), newest at index 0; hist_len (O,) valid counts.
+    occ=None (or an empty grid) selects the closed-form moment path —
+    mathematically identical when the map is empty, with no sample arrays.
     """
     probs = intent_probabilities(cfg, pos_hist, vel_hist, hist_len)
-    pos, size = jax.vmap(
-        lambda p, v, a, s: predict_single(cfg, p, v, a, s, occ)
-    )(pos_hist[:, 0], vel_hist[:, 0], acc_hist[:, 0], size_hist[:, 0])
+    use_fast = occ is None or occ.grid.size == 1
+    if use_fast:
+        pos, size = jax.vmap(
+            lambda p, v, a, s: predict_single_fast(cfg, p, v, a, s)
+        )(pos_hist[:, 0], vel_hist[:, 0], acc_hist[:, 0], size_hist[:, 0])
+    else:
+        pos, size = jax.vmap(
+            lambda p, v, a, s: predict_single(cfg, p, v, a, s, occ)
+        )(pos_hist[:, 0], vel_hist[:, 0], acc_hist[:, 0], size_hist[:, 0])
     return Prediction(pos=pos, size=size, intent_prob=probs)

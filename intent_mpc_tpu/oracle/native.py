@@ -1,0 +1,89 @@
+"""ctypes bindings for the native C++ QP solver (native/qp_solver.cpp).
+
+Builds the shared library on first use (g++ is part of the baked toolchain;
+no external deps). Falls back cleanly: callers can use
+intent_mpc_tpu.oracle.numpy_ref if `available()` is False.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_SRC = os.path.join(_NATIVE_DIR, "qp_solver.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libintentqp.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_build_error: Optional[str] = None
+
+
+def _build() -> Optional[str]:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+           "-o", _LIB]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except Exception as e:  # pragma: no cover
+        return str(e)
+    if res.returncode != 0:
+        return res.stderr
+    return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_error
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB) or (
+            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        _build_error = _build()
+        if _build_error:
+            return None
+    lib = ctypes.CDLL(_LIB)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.imt_solve_qp.restype = ctypes.c_int
+    lib.imt_solve_qp.argtypes = [
+        ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        dp, dp, ctypes.POINTER(ctypes.c_int)]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def solve_qp(h_diag, q, A, l, u, rho=0.1, sigma=1e-6, alpha=1.6,
+             max_iter=4000, eps=1e-9, scaling=10, adapt_interval=25
+             ) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Solve min 1/2 x'diag(h)x + q'x s.t. l <= Ax <= u in f64.
+
+    Returns (x, y, status, iters); status 0 = converged, 1 = max_iter."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native QP solver unavailable: {_build_error}")
+    h_diag = np.ascontiguousarray(h_diag, np.float64)
+    q = np.ascontiguousarray(q, np.float64)
+    A = np.ascontiguousarray(A, np.float64)
+    l = np.ascontiguousarray(l, np.float64)
+    u = np.ascontiguousarray(u, np.float64)
+    n, m = h_diag.shape[0], A.shape[0]
+    x = np.zeros(n)
+    y = np.zeros(m)
+    iters = ctypes.c_int(0)
+    dp = ctypes.POINTER(ctypes.c_double)
+
+    def p(a):
+        return a.ctypes.data_as(dp)
+
+    status = lib.imt_solve_qp(n, m, p(h_diag), p(q), p(A), p(l), p(u),
+                              rho, sigma, alpha, max_iter, eps, scaling,
+                              adapt_interval, p(x), p(y),
+                              ctypes.byref(iters))
+    return x, y, status, iters.value

@@ -1,0 +1,108 @@
+"""Multi-chip scaling: scenario-batch data parallelism over a device mesh.
+
+The reference has no distributed execution at all (SURVEY §2.7): its scale
+axis is "run run_mpc_benchmark.py trials sequentially". Here the scale axis
+is the scenario batch: thousands of closed-loop environments run
+simultaneously, sharded across chips with jax.sharding + shard_map, and
+cross-chip metric aggregation rides ICI psums. Multi-host extends the same
+mesh over DCN via jax.distributed (the mesh axis spans all devices of all
+hosts; no code change).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from intent_mpc_tpu.engine import closed_loop as cl
+from intent_mpc_tpu.models.world import Scenario, generate_scenario
+from intent_mpc_tpu.utils.config import IntentMPCConfig
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "batch") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def stack_scenarios(cfg: IntentMPCConfig, seeds) -> Scenario:
+    """Host-side: generate and stack a batch of seeded scenarios."""
+    scs = [generate_scenario(int(s), cfg.world) for s in seeds]
+    if not scs:
+        raise ValueError("need at least one seed/trial")
+    return jax.tree.map(lambda *a: jnp.stack(a), *scs)
+
+
+def shard_scenarios(scenarios: Scenario, mesh: Mesh) -> Scenario:
+    sh = NamedSharding(mesh, P("batch"))
+    return jax.tree.map(lambda a: jax.device_put(a, sh), scenarios)
+
+
+def batch_rollout(cfg: IntentMPCConfig, scenarios: Scenario,
+                  ref_traj: jnp.ndarray, traj_len, mesh: Optional[Mesh] = None,
+                  solver_iters: Optional[int] = None,
+                  num_cycles: Optional[int] = None):
+    """Run a batch of episodes (sharded over the mesh when given).
+
+    Returns (per-scenario Metrics batch, aggregate dict of psum-reduced
+    fleet statistics)."""
+
+    def run_shard(scen, ref):
+        carry = jax.vmap(
+            lambda s: cl.run_episode(cfg, s, ref, traj_len,
+                                     solver_iters=solver_iters,
+                                     num_cycles=num_cycles)[0])(scen)
+        m = carry.metrics
+        local = {
+            "episodes": jnp.asarray(m.goal_reached.shape[0], jnp.float32),
+            "goals": jnp.sum(m.goal_reached.astype(jnp.float32)),
+            "collisions": jnp.sum(m.collision.astype(jnp.float32)),
+            "path_length_sum": jnp.sum(m.path_length),
+            "travel_time_sum": jnp.sum(m.travel_time),
+            "min_dist_min": jnp.min(m.min_obstacle_dist),
+            "solve_attempts": jnp.sum(m.solve_attempts.astype(jnp.float32)),
+            "solve_successes": jnp.sum(m.solve_successes.astype(jnp.float32)),
+        }
+        return m, local
+
+    if mesh is None:
+        metrics, local = jax.jit(run_shard)(scenarios, ref_traj)
+        agg = {k: float(v) for k, v in local.items()}
+        return metrics, agg
+
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("batch"), P()),
+             out_specs=(P("batch"), P()),
+             check_rep=False)
+    def sharded(scen, ref):
+        m, local = run_shard(scen, ref)
+        # ICI/DCN collective reduction of fleet statistics
+        red = {k: (jax.lax.pmin(v, "batch") if k == "min_dist_min"
+                   else jax.lax.psum(v, "batch"))
+               for k, v in local.items()}
+        return m, red
+
+    metrics, agg = sharded(shard_scenarios(scenarios, mesh), ref_traj)
+    return metrics, {k: float(v) for k, v in agg.items()}
+
+
+def aggregate_summary(agg: dict) -> dict:
+    n = max(agg["episodes"], 1.0)
+    return {
+        "num_episodes": int(n),
+        "success_rate": agg["goals"] / n,
+        "collision_rate": agg["collisions"] / n,
+        "avg_path_length": agg["path_length_sum"] / n,
+        "avg_travel_time": agg["travel_time_sum"] / max(agg["goals"], 1.0),
+        "min_obstacle_distance": agg["min_dist_min"],
+        "solver_success_rate": agg["solve_successes"] / max(agg["solve_attempts"], 1.0),
+    }
