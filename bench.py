@@ -65,14 +65,17 @@ def main():
 
     carry0 = jax.vmap(lambda s: cl.init_carry(cfg, s))(scenarios)
 
-    # warmup / compile
+    # warmup / compile. The second warmup uses a carried-in carry so any
+    # weak-type-driven retrace happens before timing.
     t0 = time.time()
     carry = run_cycles(carry0, jnp.asarray(0, jnp.int32))
     jax.block_until_ready(carry)
     compile_time = time.time() - t0
+    carry = run_cycles(carry, jnp.asarray(args.cycles, jnp.int32))
+    jax.block_until_ready(carry)
 
     t0 = time.time()
-    carry = run_cycles(carry, jnp.asarray(args.cycles, jnp.int32))
+    carry = run_cycles(carry, jnp.asarray(2 * args.cycles, jnp.int32))
     jax.block_until_ready(carry)
     elapsed = time.time() - t0
 

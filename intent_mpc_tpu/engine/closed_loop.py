@@ -58,12 +58,12 @@ class Metrics(NamedTuple):
 
 
 def init_metrics() -> Metrics:
-    z = jnp.asarray(0.0)
-    zi = jnp.asarray(0, jnp.int32)
+    z = jnp.zeros((), jnp.float32)
+    zi = jnp.zeros((), jnp.int32)
     return Metrics(
         goal_reached=jnp.asarray(False), travel_time=z,
         collision=jnp.asarray(False), collision_count=zi,
-        min_obstacle_dist=jnp.asarray(jnp.inf), path_length=z,
+        min_obstacle_dist=jnp.asarray(jnp.inf, jnp.float32), path_length=z,
         vel_violations=zi, acc_violations=zi, jerk_violations=zi,
         samples=zi, jerk_samples=zi,
         max_velocity=z, max_acceleration=z, sum_velocity=z, n_vel_valid=zi,
@@ -89,15 +89,15 @@ class EngineCarry(NamedTuple):
 
 def init_carry(cfg: IntentMPCConfig, scenario: Scenario) -> EngineCarry:
     pos0, _ = obstacle_state(scenario, jnp.asarray(0.0))
-    start = jnp.asarray(cfg.start)
+    start = jnp.asarray(cfg.start, jnp.float32)
     return EngineCarry(
-        pos=start, vel=jnp.zeros(3),
+        pos=start, vel=jnp.zeros(3, jnp.float32),
         detector=det.init_detector(scenario.origin.shape[0], cfg.detector, pos0),
         planner=mpclib.init_planner_state(cfg.planner),
         controller=init_controller(),
         traj_age=jnp.asarray(0, jnp.int32),
         traj_ready=jnp.asarray(False),
-        prev_target_acc=jnp.zeros(3),
+        prev_target_acc=jnp.zeros(3, jnp.float32),
         has_prev_target=jnp.asarray(False),
         stopping=jnp.asarray(False),
         stop_pos=start,

@@ -28,7 +28,7 @@ class ControllerState(NamedTuple):
 
 
 def init_controller() -> ControllerState:
-    z = jnp.zeros(3)
+    z = jnp.zeros(3, jnp.float32)
     return ControllerState(z, z, z, z, jnp.asarray(True))
 
 

@@ -36,16 +36,16 @@ class DetectorState(NamedTuple):
 def init_detector(num_obstacles: int, cfg: DetectorConfig,
                   pos0: jnp.ndarray) -> DetectorState:
     O, Hh = num_obstacles, cfg.history_size
-    z3 = jnp.zeros((O, 3))
+    z3 = jnp.zeros((O, 3), jnp.float32)
     return DetectorState(
-        pos_hist=jnp.zeros((O, Hh, 3)),
-        vel_hist=jnp.zeros((O, Hh, 3)),
-        acc_hist=jnp.zeros((O, Hh, 3)),
+        pos_hist=jnp.zeros((O, Hh, 3), jnp.float32),
+        vel_hist=jnp.zeros((O, Hh, 3), jnp.float32),
+        acc_hist=jnp.zeros((O, Hh, 3), jnp.float32),
         hist_len=jnp.asarray(0, jnp.int32),
         last_pos=pos0,
         vel=z3,
         acc=z3,
-        last_fd_time=jnp.asarray(0.0),
+        last_fd_time=jnp.zeros((), jnp.float32),
     )
 
 

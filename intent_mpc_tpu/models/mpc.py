@@ -59,12 +59,12 @@ class PlanOutput(NamedTuple):
 def init_planner_state(cfg: PlannerConfig) -> PlannerState:
     H, W = cfg.horizon, cfg.mpc_window
     return PlannerState(
-        states_sol=jnp.zeros((H, 8)),
-        controls_sol=jnp.zeros((W, 5)),
+        states_sol=jnp.zeros((H, 8), jnp.float32),
+        controls_sol=jnp.zeros((W, 5), jnp.float32),
         first_time=jnp.asarray(True),
         has_solution=jnp.asarray(False),
         last_ref_start=jnp.asarray(0, jnp.int32),
-        xref=jnp.zeros((H, 3)),
+        xref=jnp.zeros((H, 3), jnp.float32),
     )
 
 
