@@ -1,0 +1,201 @@
+"""Occupancy mapping: log-odds voxel map, inflation, raycast, ESDF.
+
+TPU-native rebuild of map_manager (map_manager/include/map_manager/):
+
+  * occupancyMap.cpp: log-odds grid fed by sensor point clouds. The
+    reference walks each ray with Amanatides-Woo traversal and a per-frame
+    hit/miss cache so every voxel updates at most once per frame
+    (raycastUpdate :810-977). Here rays are sampled at sub-voxel fixed
+    steps and deduplicated with scatter-max visit masks — same
+    once-per-frame semantics, fully vectorized over rays x steps.
+  * inflateLocalMap (:1030+): robot-size box inflation == max-pool over the
+    occupancy grid (lax.reduce_window).
+  * raycast.cpp (Amanatides-Woo): castRay == first-hit search along fixed
+    sub-voxel samples.
+  * ESDFMap.cpp (:69-120): 3-pass separable distance transform ->
+    vectorized per-axis min-plus squared-distance transform (exact, the
+    Felzenszwalb envelope replaced by a broadcasted O(n^2) reduction that
+    maps onto the VPU), positive + negative fields.
+
+Config values mirror mapping_param.yaml (p_hit .70, p_miss .35, p_min .12,
+p_max .97, p_occ .80, raycast_max_length 5.0).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from intent_mpc_tpu.models.occupancy import OccupancyGrid
+
+
+class MappingConfig(NamedTuple):
+    resolution: float = 0.15
+    p_hit: float = 0.70
+    p_miss: float = 0.35
+    p_min: float = 0.12
+    p_max: float = 0.97
+    p_occ: float = 0.80
+    raycast_max_len: float = 5.0
+    robot_size: Tuple[float, float, float] = (0.5, 0.5, 0.3)
+
+    @property
+    def l_hit(self) -> float:
+        return math.log(self.p_hit / (1 - self.p_hit))
+
+    @property
+    def l_miss(self) -> float:
+        return math.log(self.p_miss / (1 - self.p_miss))
+
+    @property
+    def l_min(self) -> float:
+        return math.log(self.p_min / (1 - self.p_min))
+
+    @property
+    def l_max(self) -> float:
+        return math.log(self.p_max / (1 - self.p_max))
+
+    @property
+    def l_occ(self) -> float:
+        return math.log(self.p_occ / (1 - self.p_occ))
+
+
+class LogOddsMap(NamedTuple):
+    log_odds: jnp.ndarray    # (nx, ny, nz) float32
+    origin: jnp.ndarray      # (3,)
+    resolution: jnp.ndarray  # scalar
+
+
+def init_map(origin, size_m, cfg: MappingConfig) -> LogOddsMap:
+    dims = tuple(int(math.ceil(s / cfg.resolution)) for s in size_m)
+    return LogOddsMap(
+        log_odds=jnp.zeros(dims, jnp.float32),
+        origin=jnp.asarray(origin, jnp.float32),
+        resolution=jnp.asarray(cfg.resolution, jnp.float32))
+
+
+def _flat_idx(m: LogOddsMap, idx):
+    d = m.log_odds.shape
+    return (idx[..., 0] * d[1] + idx[..., 1]) * d[2] + idx[..., 2]
+
+
+def integrate_cloud(cfg: MappingConfig, m: LogOddsMap, sensor_origin,
+                    points, point_valid, samples_per_ray: int = 64
+                    ) -> LogOddsMap:
+    """One sensor frame: free-space misses along each ray, hit at endpoints.
+
+    points (P,3) world-frame; point_valid (P,) mask. Points beyond
+    raycast_max_len are clamped and treated as miss-only (occupancyMap.cpp
+    raycastUpdate range handling). Per-frame once-per-voxel semantics via
+    visit masks.
+    """
+    res = m.resolution
+    d = m.log_odds.shape
+    nflat = d[0] * d[1] * d[2]
+    o = jnp.asarray(sensor_origin)
+
+    vec = points - o[None, :]
+    dist = jnp.linalg.norm(vec, axis=-1)
+    in_range = dist <= cfg.raycast_max_len
+    clamp = jnp.minimum(dist, cfg.raycast_max_len)
+    direction = vec / jnp.maximum(dist, 1e-9)[:, None]
+    end = o[None, :] + direction * clamp[:, None]
+
+    # sub-voxel sampling along each ray (excluding the endpoint voxel)
+    fr = (jnp.arange(samples_per_ray) + 0.5) / samples_per_ray
+    pts = o[None, None, :] + (end - o[None, :])[:, None, :] * fr[None, :, None]
+    idx = jnp.floor((pts - m.origin) / res).astype(jnp.int32)
+    dims = jnp.array(d)
+    inside = jnp.all((idx >= 0) & (idx < dims), axis=-1)
+
+    hit_idx = jnp.floor((end - m.origin) / res).astype(jnp.int32)
+    hit_inside = jnp.all((hit_idx >= 0) & (hit_idx < dims), axis=-1)
+    hit_valid = point_valid & in_range & hit_inside
+    hit_flat = jnp.where(hit_valid, _flat_idx(m, hit_idx), nflat)
+
+    is_hit_voxel = jnp.all(idx == hit_idx[:, None, :], axis=-1)
+    miss_valid = point_valid[:, None] & inside & ~(is_hit_voxel & in_range[:, None])
+    miss_flat = jnp.where(miss_valid, _flat_idx(m, idx), nflat)
+
+    visit_miss = jnp.zeros(nflat + 1, jnp.float32) \
+        .at[miss_flat.reshape(-1)].max(1.0)
+    visit_hit = jnp.zeros(nflat + 1, jnp.float32) \
+        .at[hit_flat].max(1.0)
+    # a voxel hit by any ray is a hit, not a miss (reference hit priority)
+    visit_miss = visit_miss * (1.0 - visit_hit)
+
+    delta = (visit_hit[:nflat] * cfg.l_hit
+             + visit_miss[:nflat] * cfg.l_miss).reshape(d)
+    lo = jnp.clip(m.log_odds + delta, cfg.l_min, cfg.l_max)
+    return m._replace(log_odds=lo)
+
+
+def occupancy(cfg: MappingConfig, m: LogOddsMap) -> jnp.ndarray:
+    """Binary occupancy: log-odds >= l_occ (isOccupied semantics)."""
+    return (m.log_odds >= cfg.l_occ).astype(jnp.int8)
+
+
+def inflate(cfg: MappingConfig, occ: jnp.ndarray,
+            resolution: float) -> jnp.ndarray:
+    """Robot-size box inflation == max-pool (inflateLocalMap)."""
+    ks = tuple(2 * int(math.ceil(s / 2.0 / resolution)) + 1
+               for s in cfg.robot_size)
+    return jax.lax.reduce_window(
+        occ.astype(jnp.float32), -jnp.inf, jax.lax.max,
+        window_dimensions=ks, window_strides=(1, 1, 1),
+        padding="SAME").astype(jnp.int8)
+
+
+def to_occupancy_grid(cfg: MappingConfig, m: LogOddsMap,
+                      inflated: bool = True) -> OccupancyGrid:
+    occ = occupancy(cfg, m)
+    if inflated:
+        occ = inflate(cfg, occ, float(m.resolution))
+    return OccupancyGrid(grid=occ, origin=m.origin, resolution=m.resolution)
+
+
+def cast_ray(grid: OccupancyGrid, start, end, samples: int = 256):
+    """castRay (occupancyMap + raycast.cpp): first occupied sample between
+    start and end. Returns (hit (bool), hit_point (3,))."""
+    fr = jnp.linspace(0.0, 1.0, samples)
+    pts = start[None, :] + (end - start)[None, :] * fr[:, None]
+    from intent_mpc_tpu.models.occupancy import is_occupied
+    occ = is_occupied(grid, pts)
+    any_hit = jnp.any(occ)
+    first = jnp.argmax(occ)
+    return any_hit, jnp.where(any_hit, pts[first], end)
+
+
+def _sq_dist_transform_1d(f: jnp.ndarray, chunk: int = 64) -> jnp.ndarray:
+    """Exact 1-D squared distance transform along the last axis:
+    out[i] = min_j f[j] + (i-j)^2 (voxel units). Broadcasted min-plus."""
+    n = f.shape[-1]
+    j = jnp.arange(n)
+    outs = []
+    for c0 in range(0, n, chunk):
+        i = jnp.arange(c0, min(c0 + chunk, n))
+        cost = f[..., None, :] + (i[:, None] - j[None, :]) ** 2
+        outs.append(jnp.min(cost, axis=-1))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def esdf(occ: jnp.ndarray, resolution: float) -> jnp.ndarray:
+    """Signed Euclidean distance field (meters): positive outside obstacles,
+    negative inside (ESDFMap::updateESDF3D pos+neg passes)."""
+    big = jnp.asarray(1e9, jnp.float32)
+
+    def edt(grid_bool):
+        f = jnp.where(grid_bool, 0.0, big)
+        for ax in range(3):
+            f = jnp.moveaxis(f, ax, -1)
+            f = _sq_dist_transform_1d(f)
+            f = jnp.moveaxis(f, -1, ax)
+        return jnp.sqrt(f) * resolution
+
+    occ_b = occ > 0
+    pos = edt(occ_b)
+    neg = edt(~occ_b)
+    return jnp.where(occ_b, -neg, pos)
