@@ -1,0 +1,295 @@
+"""Depth-camera dynamic-obstacle detection & tracking (the "real detector").
+
+Rebuild of onboard_detector's dynamicDetector pipeline (onboard_detector/
+dynamicDetector.cpp) and helpers (kalmanFilter.cpp, uvDetector.cpp,
+dbscan.cpp), vectorized:
+
+  detectionCB (:710-717):   depth image -> point cloud (projectDepthImage
+                            :1240-1279) -> voxel filter -> DBSCAN clusters
+                            -> AABBs (clusterPointsAndBBoxes :1289-1356),
+                            fused with U-map detections by IOU
+                            (filterBBoxes :987+, calBoxIOU :1410-1443)
+  trackingCB (:719-732):    linear propagation of previous boxes
+                            (linearProp :1664-1673), feature-based best
+                            match (genFeat/findBestMatch :1638-1735),
+                            per-track constant-velocity Kalman filters
+                            (kalmanFilterAndUpdateHist :1789-1943,
+                            kalmanFilterMatrixVel :1945-1968)
+  classificationCB (:734-914): dynamic-vs-static voting from displacement
+                            of matched boxes against the propagated
+                            position over a skip-frame horizon.
+
+Fixed-shape design: tracks live in padded arrays with live-masks; the
+depth image is dense; the U-map is a (depth-bin x column) histogram
+reduced with segmented thresholding. Whole camera batches vmap.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Generic linear Kalman filter (kalmanFilter.cpp:32-48)
+# ---------------------------------------------------------------------------
+
+class KalmanState(NamedTuple):
+    x: jnp.ndarray   # (n,)
+    P: jnp.ndarray   # (n, n)
+
+
+def kalman_estimate(ks: KalmanState, A, B, H, Q, R, z, u) -> KalmanState:
+    """One predict+update step (kalman_filter::estimate)."""
+    x = A @ ks.x + B @ u
+    P = A @ ks.P @ A.T + Q
+    S = R + H @ P @ H.T
+    K = P @ H.T @ jnp.linalg.inv(S)
+    x = x + K @ (z - H @ x)
+    P = (jnp.eye(P.shape[0]) - K @ H) @ P
+    return KalmanState(x=x, P=P)
+
+
+def const_vel_matrices(dt: float, eq: float = 0.33, er: float = 0.1):
+    """Constant-velocity model (kalmanFilterMatrixVel :1945-1968):
+    states [x y z vx vy vz], observation [x y z vx vy vz] (position +
+    finite-difference velocity)."""
+    A = jnp.eye(6).at[0:3, 3:6].set(jnp.eye(3) * dt)
+    B = jnp.zeros((6, 1))
+    H = jnp.eye(6)
+    Q = jnp.eye(6) * eq
+    R = jnp.eye(6) * er
+    return A, B, H, Q, R
+
+
+# ---------------------------------------------------------------------------
+# Depth image -> point cloud (projectDepthImage :1240-1279)
+# ---------------------------------------------------------------------------
+
+class CameraIntrinsics(NamedTuple):
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    depth_scale: float = 1000.0
+    depth_min: float = 0.5
+    depth_max: float = 5.0
+    skip: int = 2            # depth_skip_pixel
+
+
+def project_depth(intr: CameraIntrinsics, depth: jnp.ndarray,
+                  cam_pos: jnp.ndarray, cam_rot: jnp.ndarray):
+    """depth (H, W) raw -> world points ((H//skip)*(W//skip), 3) + valid."""
+    H, W = depth.shape
+    s = intr.skip
+    d = depth[::s, ::s].astype(jnp.float32) / intr.depth_scale
+    vv, uu = jnp.meshgrid(jnp.arange(0, H, s), jnp.arange(0, W, s),
+                          indexing="ij")
+    x = (uu - intr.cx) * d / intr.fx
+    y = (vv - intr.cy) * d / intr.fy
+    pts_cam = jnp.stack([x, y, d], axis=-1).reshape(-1, 3)
+    valid = ((d >= intr.depth_min) & (d <= intr.depth_max)).reshape(-1)
+    pts_world = pts_cam @ cam_rot.T + cam_pos[None, :]
+    return pts_world, valid
+
+
+def voxel_filter(points: jnp.ndarray, valid: jnp.ndarray, res: float,
+                 origin) -> jnp.ndarray:
+    """Keep one point per voxel (voxelFilter :1358-1384): mask duplicates
+    via scatter of first-owner indices."""
+    idx = jnp.floor((points - jnp.asarray(origin)) / res).astype(jnp.int32)
+    key = (idx[:, 0] * 73856093) ^ (idx[:, 1] * 19349663) ^ (idx[:, 2] * 83492791)
+    key = jnp.abs(key) % (4 * points.shape[0] + 1)
+    P = points.shape[0]
+    owner = jnp.full(4 * P + 1, P, jnp.int32).at[
+        jnp.where(valid, key, 4 * P)].min(jnp.arange(P, dtype=jnp.int32))
+    return valid & (owner[key] == jnp.arange(P))
+
+
+# ---------------------------------------------------------------------------
+# U-map detector (uvDetector.cpp: U-map histogram + band extraction)
+# ---------------------------------------------------------------------------
+
+def u_map_detect(intr: CameraIntrinsics, depth: jnp.ndarray,
+                 num_bins: int = 32, min_hits: int = 10,
+                 max_boxes: int = 8):
+    """Column-depth histogram detector: bins with enough support become
+    obstacle bands; contiguous columns merge into 2D boxes with a depth
+    estimate. Returns (boxes (max_boxes, 4): [u_min, u_max, depth, height],
+    valid (max_boxes,))."""
+    H, W = depth.shape
+    d = depth.astype(jnp.float32) / intr.depth_scale
+    ok = (d >= intr.depth_min) & (d <= intr.depth_max)
+    bin_idx = jnp.clip(((d - intr.depth_min)
+                        / (intr.depth_max - intr.depth_min)
+                        * num_bins).astype(jnp.int32), 0, num_bins - 1)
+    # U-map: (num_bins, W) histogram of depth hits per column
+    flat = bin_idx * W + jnp.broadcast_to(jnp.arange(W)[None, :], (H, W))
+    umap = jnp.zeros(num_bins * W).at[
+        jnp.where(ok, flat, num_bins * W - 1).reshape(-1)
+    ].add(ok.reshape(-1).astype(jnp.float32)).reshape(num_bins, W)
+
+    strong = umap >= min_hits                       # (bins, W)
+    # contiguous column runs PER DEPTH BIN (the U-map's 2D bands)
+    prev = jnp.concatenate([jnp.zeros((num_bins, 1), bool), strong[:, :-1]],
+                           axis=1)
+    starts = strong & ~prev
+    run_id = jnp.cumsum(starts.astype(jnp.int32), axis=1) * strong - 1
+    cols = jnp.arange(W)
+    runs_per_bin = 4
+
+    def bin_boxes(b):
+        def box(r):
+            m = run_id[b] == r
+            any_m = jnp.any(m)
+            u0 = jnp.min(jnp.where(m, cols, W))
+            u1 = jnp.max(jnp.where(m, cols, -1))
+            dep = intr.depth_min + (b + 0.5) / num_bins \
+                * (intr.depth_max - intr.depth_min)
+            inb = ok & (bin_idx == b) & m[None, :]
+            rows = jnp.arange(H)[:, None]
+            v0 = jnp.min(jnp.where(inb, rows, H))
+            v1 = jnp.max(jnp.where(inb, rows, -1))
+            support = jnp.sum(jnp.where(m, umap[b], 0.0))
+            return (jnp.stack([u0.astype(jnp.float32),
+                               u1.astype(jnp.float32), dep,
+                               (v1 - v0).astype(jnp.float32)]),
+                    any_m, support)
+        return jax.vmap(box)(jnp.arange(runs_per_bin))
+
+    boxes_all, valid_all, support_all = jax.vmap(bin_boxes)(
+        jnp.arange(num_bins))
+    boxes_all = boxes_all.reshape(-1, 4)
+    valid_all = valid_all.reshape(-1)
+    support_all = jnp.where(valid_all, support_all.reshape(-1), -1.0)
+    top = jnp.argsort(-support_all)[:max_boxes]
+    return boxes_all[top], valid_all[top]
+
+
+# ---------------------------------------------------------------------------
+# Boxes, IOU, tracking
+# ---------------------------------------------------------------------------
+
+def box_iou(c1, s1, c2, s2) -> jnp.ndarray:
+    """Axis-aligned 3D IOU (calBoxIOU :1410-1443). c/s: (...,3)."""
+    lo = jnp.maximum(c1 - s1 / 2, c2 - s2 / 2)
+    hi = jnp.minimum(c1 + s1 / 2, c2 + s2 / 2)
+    inter = jnp.prod(jnp.clip(hi - lo, 0.0, None), axis=-1)
+    v1 = jnp.prod(s1, axis=-1)
+    v2 = jnp.prod(s2, axis=-1)
+    return inter / jnp.maximum(v1 + v2 - inter, 1e-9)
+
+
+class Tracks(NamedTuple):
+    """Padded track table (the detector's boxHist/filters, fixed shape)."""
+    pos: jnp.ndarray      # (T, 3) filtered position
+    vel: jnp.ndarray      # (T, 3) filtered velocity
+    size: jnp.ndarray     # (T, 3)
+    P: jnp.ndarray        # (T, 6, 6) KF covariance
+    age: jnp.ndarray      # (T,) frames tracked
+    dyn_votes: jnp.ndarray  # (T,) dynamic-classification vote accumulator
+    live: jnp.ndarray     # (T,) bool
+
+
+def init_tracks(max_tracks: int) -> Tracks:
+    T = max_tracks
+    return Tracks(pos=jnp.zeros((T, 3)), vel=jnp.zeros((T, 3)),
+                  size=jnp.zeros((T, 3)),
+                  P=jnp.tile(jnp.eye(6)[None], (T, 1, 1)),
+                  age=jnp.zeros(T, jnp.int32),
+                  dyn_votes=jnp.zeros(T),
+                  live=jnp.zeros(T, bool))
+
+
+def track_step(tracks: Tracks, det_pos, det_size, det_valid, dt: float,
+               match_max_dist: float = 1.5,
+               dyn_vel_thresh: float = 0.3) -> Tracks:
+    """One tracking cycle: propagate, associate, KF-update, classify.
+
+    det_pos/size (D,3), det_valid (D,). Greedy nearest association against
+    linearly-propagated tracks (linearProp + findBestMatch semantics with
+    position features); unmatched detections open tracks in free slots;
+    unmatched tracks die.
+    """
+    T = tracks.pos.shape[0]
+    D = det_pos.shape[0]
+    prop = tracks.pos + tracks.vel * dt                     # (T,3)
+
+    d = jnp.linalg.norm(prop[:, None, :] - det_pos[None, :, :], axis=-1)
+    d = jnp.where(tracks.live[:, None] & det_valid[None, :], d, jnp.inf)
+
+    # greedy one-to-one: iterate D times picking the global best pair
+    def pick(carry, _):
+        dmat, t2d = carry
+        flat = jnp.argmin(dmat)
+        ti, di = flat // D, flat % D
+        ok = dmat[ti, di] <= match_max_dist
+        t2d = t2d.at[ti].set(jnp.where(ok, di, t2d[ti]))
+        dmat = dmat.at[ti, :].set(jnp.inf)
+        dmat = dmat.at[:, di].set(jnp.where(ok, jnp.inf, dmat[:, di]))
+        return (dmat, t2d), None
+
+    (_, t2d), _ = jax.lax.scan(pick, (d, jnp.full(T, -1, jnp.int32)), None,
+                               length=min(T, D))
+    matched = t2d >= 0
+    det_idx = jnp.clip(t2d, 0, D - 1)
+
+    # KF update for matched tracks (const-vel model, observation = det pos
+    # + FD velocity vs previous filtered position)
+    A, B, H, Q, R = const_vel_matrices(dt)
+    z_pos = det_pos[det_idx]
+    z_vel = (z_pos - tracks.pos) / dt
+    z = jnp.concatenate([z_pos, z_vel], axis=-1)            # (T,6)
+    xk = jnp.concatenate([tracks.pos, tracks.vel], axis=-1)
+
+    def upd(x, P, zz):
+        ks = kalman_estimate(KalmanState(x, P), A, B, H, Q, R, zz,
+                             jnp.zeros(1))
+        return ks.x, ks.P
+
+    xs, Ps = jax.vmap(upd)(xk, tracks.P, z)
+    new_pos = jnp.where(matched[:, None], xs[:, 0:3], tracks.pos)
+    new_vel = jnp.where(matched[:, None], xs[:, 3:6], tracks.vel)
+    new_P = jnp.where(matched[:, None, None], Ps, tracks.P)
+    new_size = jnp.where(matched[:, None], det_size[det_idx], tracks.size)
+
+    # dynamic classification votes: displacement against propagation
+    speed = jnp.linalg.norm(new_vel[:, 0:2], axis=-1)
+    votes = jnp.clip(tracks.dyn_votes + jnp.where(
+        matched, jnp.where(speed > dyn_vel_thresh, 1.0, -0.5), 0.0),
+        0.0, 10.0)
+
+    live = tracks.live & matched
+    age = jnp.where(live, tracks.age + 1, 0)
+
+    # open new tracks for unmatched detections
+    det_used = jnp.any((t2d[:, None] == jnp.arange(D)[None, :])
+                       & matched[:, None], axis=0)
+    det_new = det_valid & ~det_used
+
+    def open_slot(state, di):
+        pos, vel, size, P, age, votes, live = state
+        free = jnp.argmin(live)                     # first dead slot
+        can = det_new[di] & ~live[free]
+        pos = pos.at[free].set(jnp.where(can, det_pos[di], pos[free]))
+        vel = vel.at[free].set(jnp.where(can, 0.0, vel[free]))
+        size = size.at[free].set(jnp.where(can, det_size[di], size[free]))
+        P = P.at[free].set(jnp.where(can, jnp.eye(6), P[free]))
+        age = age.at[free].set(jnp.where(can, 1, age[free]))
+        votes = votes.at[free].set(jnp.where(can, 0.0, votes[free]))
+        live = live.at[free].set(live[free] | can)
+        return (pos, vel, size, P, age, votes, live), None
+
+    state = (new_pos, new_vel, new_size, new_P, age, votes, live)
+    state, _ = jax.lax.scan(open_slot, state, jnp.arange(D))
+    pos, vel, size, P, age, votes, live = state
+    return Tracks(pos=pos, vel=vel, size=size, P=P, age=age,
+                  dyn_votes=votes, live=live)
+
+
+def dynamic_obstacles(tracks: Tracks, vote_thresh: float = 2.0):
+    """Tracks classified dynamic (classificationCB voting outcome)."""
+    dyn = tracks.live & (tracks.dyn_votes >= vote_thresh)
+    return tracks.pos, tracks.vel, tracks.size, dyn
