@@ -218,14 +218,32 @@ def evaluate_candidates(cfg: PlannerConfig, consistency, detour, safety,
     return jnp.argmax(weighted).astype(jnp.int32)
 
 
+def fov_halfspaces(curr_pos: jnp.ndarray, curr_yaw: jnp.ndarray,
+                   fov_deg: float = 87.0):
+    """updateFovParam (mpcPlanner.cpp:274-295): two half-planes bounding
+    the camera FOV. Returns (half_max (3,), half_min (3,)) as (a, b, c)."""
+    half = fov_deg / 2.0 * jnp.pi / 180.0
+    max_a = curr_yaw - half
+    min_a = curr_yaw + half
+    a1, b1 = jnp.sin(max_a), -jnp.cos(max_a)
+    c1 = a1 * curr_pos[0] + b1 * curr_pos[1]
+    a2, b2 = jnp.sin(min_a), -jnp.cos(min_a)
+    c2 = a2 * curr_pos[0] + b2 * curr_pos[1]
+    return jnp.stack([a1, b1, c1]), jnp.stack([a2, b2, c2])
+
+
 def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
                         curr_pos: jnp.ndarray, curr_vel: jnp.ndarray,
                         input_traj: jnp.ndarray, traj_len: jnp.ndarray,
                         pred: Prediction, visible: jnp.ndarray,
-                        max_iter: Optional[int] = None) -> PlanOutput:
+                        max_iter: Optional[int] = None,
+                        curr_yaw: Optional[jnp.ndarray] = None) -> PlanOutput:
     """One replanning cycle (mpcCB body + makePlanWithPred).
 
     All 6 intent-combination QPs are assembled and solved as one batch.
+    curr_yaw enables the FOV half-space rows (the reference's 3-argument
+    updateCurrStates; the DYNUS benchmark uses the 2-argument form with
+    numHalfSpace = 0).
     """
     H, W = cfg.horizon, cfg.mpc_window
     O = pred.pos.shape[0]
@@ -257,6 +275,20 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
     # semi-axes = size/2 + dynamic safety; yaw 0; all dynamic.
     qsize = cand_size[:, :W] / 2.0 + cfg.dynamic_safety_dist
     qpos = cand_pos[:, :W]
+    qp_active = cand_active
+    if curr_yaw is not None:
+        # two spare slots for FOV half-space rows (QP only; scoring uses the
+        # un-padded obstacle set)
+        pad = lambda a, fill: jnp.concatenate(
+            [a, jnp.full(a.shape[:2] + (2,) + a.shape[3:], fill, a.dtype)],
+            axis=2)
+        qpos = pad(qpos, 0.0)
+        qsize = pad(qsize, 1.0)
+        qp_active = jnp.concatenate(
+            [qp_active, jnp.zeros(qp_active.shape[:1] + (2,))], axis=1)
+        fov = fov_halfspaces(curr_pos, curr_yaw)
+    else:
+        fov = None
 
     # linearization points: previous solution states or current position
     lin = jnp.where(state.has_solution,
@@ -270,8 +302,8 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
                               jnp.zeros(op.shape[:-1]),
                               jnp.ones(op.shape[:-1]),
                               jnp.broadcast_to(act[None, :], op.shape[:-1]),
-                              lin)
-    qps = jax.vmap(build_one)(qpos, qsize, cand_active)
+                              lin, fov_rows=fov)
+    qps = jax.vmap(build_one)(qpos, qsize, qp_active)
 
     warm = jnp.where(state.has_solution,
                      qplib.merge_z(state.states_sol, state.controls_sol),
@@ -311,6 +343,63 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
     return PlanOutput(state=new_state, valid=valid, best_idx=best,
                       candidate_states=states6, solved=res.solved,
                       prim_res=res.prim_res)
+
+
+def make_plan(cfg: PlannerConfig, state: PlannerState,
+              curr_pos: jnp.ndarray, curr_vel: jnp.ndarray,
+              input_traj: jnp.ndarray, traj_len: jnp.ndarray,
+              obs_pos: jnp.ndarray, obs_vel: jnp.ndarray,
+              obs_size: jnp.ndarray, visible: jnp.ndarray,
+              max_iter: Optional[int] = None,
+              curr_yaw: Optional[jnp.ndarray] = None) -> PlanOutput:
+    """Non-predictor replanning cycle (mpcPlanner::makePlan :543-569 fed by
+    updateDynamicObstacles :316-341): each obstacle held at its current
+    position/size for the whole horizon, single QP solve.
+
+    obs_pos/vel/size (O,3); the velocity is carried for parity with
+    updateDynamicObstacles' stored fields (the QP only uses pos/size)."""
+    H, W = cfg.horizon, cfg.mpc_window
+    O = obs_pos.shape[0]
+    xref, new_start = reference_window(
+        cfg, input_traj, traj_len, curr_pos, state.last_ref_start)
+
+    K = O + (2 if curr_yaw is not None else 0)
+    qpos = jnp.zeros((W, K, 3)).at[:, :O].set(
+        jnp.broadcast_to(obs_pos[None], (W, O, 3)))
+    qsize = jnp.ones((W, K, 3)).at[:, :O].set(
+        jnp.broadcast_to(obs_size[None] / 2.0 + cfg.dynamic_safety_dist,
+                         (W, O, 3)))
+    active = jnp.zeros((W, K)).at[:, :O].set(
+        jnp.broadcast_to(visible[None], (W, O)).astype(jnp.float32))
+    use_obs = (~state.first_time) & jnp.any(visible)
+    active = active * use_obs.astype(active.dtype)
+    fov = fov_halfspaces(curr_pos, curr_yaw) if curr_yaw is not None else None
+
+    lin = jnp.where(state.has_solution,
+                    state.states_sol[:W, 0:3],
+                    jnp.broadcast_to(curr_pos, (W, 3)))
+    x0 = jnp.concatenate([curr_pos, curr_vel])
+    qp = qplib.build_qp(cfg, x0, xref, qpos, qsize, jnp.zeros((W, K)),
+                        jnp.ones((W, K)), active, lin, fov_rows=fov)
+    warm = jnp.where(state.has_solution,
+                     qplib.merge_z(state.states_sol, state.controls_sol),
+                     jnp.zeros(cfg.num_vars))
+    res = admm_solve(cfg, qp, warm, max_iter)
+    Xs, Us = qplib.split_z(res.x, cfg)
+    accepted = jnp.isfinite(res.prim_res) & (res.prim_res < 1e3) \
+        & jnp.all(jnp.isfinite(res.x))
+    new_state = PlannerState(
+        states_sol=jnp.where(accepted, Xs, state.states_sol),
+        controls_sol=jnp.where(accepted, Us, state.controls_sol),
+        first_time=state.first_time & ~accepted,
+        has_solution=state.has_solution | accepted,
+        last_ref_start=new_start,
+        xref=jnp.where(accepted, xref, state.xref))
+    one = jnp.zeros(6, bool).at[0].set(accepted)
+    return PlanOutput(state=new_state, valid=accepted,
+                      best_idx=jnp.asarray(0, jnp.int32),
+                      candidate_states=jnp.broadcast_to(Xs[None], (6, H, 8)),
+                      solved=one, prim_res=jnp.full(6, res.prim_res))
 
 
 # ---------------------------------------------------------------------------

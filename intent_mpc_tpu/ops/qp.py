@@ -65,7 +65,11 @@ class ConVec(NamedTuple):
 
 
 class QPData(NamedTuple):
-    """Per-solve (per-candidate) QP problem data. All arrays fixed-shape."""
+    """Per-solve (per-candidate) QP problem data. All arrays fixed-shape.
+
+    The obs group also carries FOV half-space rows (updateFovParam,
+    mpcPlanner.cpp:274-295): linear rows on (x, y) with NO slack column —
+    obs_slack = 0 for those slots."""
 
     q: jnp.ndarray          # (n,) linear cost
     l: ConVec               # lower bounds
@@ -73,6 +77,7 @@ class QPData(NamedTuple):
     G: jnp.ndarray          # (W, K, 3) obstacle constraint gradients
     obs_dyn: jnp.ndarray    # (W, K) 1.0 if row uses dynamic slack u[3], else u[4]
     obs_active: jnp.ndarray  # (W, K) 1.0 for live obstacle rows
+    obs_slack: jnp.ndarray  # (W, K) 1.0 if the row has a slack column
 
 
 def dynamics_matrices(ts: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -158,7 +163,8 @@ def linearize_obstacles(oxyz: jnp.ndarray, osize: jnp.ndarray, yaw: jnp.ndarray,
 def build_qp(cfg: PlannerConfig, x0: jnp.ndarray, xref: jnp.ndarray,
              oxyz: jnp.ndarray, osize: jnp.ndarray, yaw: jnp.ndarray,
              obs_dyn: jnp.ndarray, obs_active: jnp.ndarray,
-             lin_states: jnp.ndarray) -> QPData:
+             lin_states: jnp.ndarray,
+             fov_rows=None) -> QPData:
     """Assemble the full QP for one candidate.
 
     Args:
@@ -188,13 +194,26 @@ def build_qp(cfg: PlannerConfig, x0: jnp.ndarray, xref: jnp.ndarray,
     G = G * obs_active[..., None]
     lo = jnp.where(obs_active > 0, lo, -INF)
 
+    hi = jnp.full((W, K), INF)
+    slack_mask = jnp.ones((W, K))
+    if fov_rows is not None:
+        # two extra no-slack rows per step (updateFovParam): row 1:
+        # a1 x + b1 y <= c1; row 2: a2 x + b2 y >= c2. Caller must size K
+        # with two spare slots (the last two) for these.
+        half_max, half_min = fov_rows      # each (3,): a, b, c
+        G = G.at[:, K - 2, 0].set(half_max[0]).at[:, K - 2, 1].set(half_max[1])
+        G = G.at[:, K - 1, 0].set(half_min[0]).at[:, K - 1, 1].set(half_min[1])
+        lo = lo.at[:, K - 2].set(-INF).at[:, K - 1].set(half_min[2])
+        hi = hi.at[:, K - 2].set(half_max[2])
+        obs_active = obs_active.at[:, K - 2:].set(1.0)
+        slack_mask = slack_mask.at[:, K - 2:].set(0.0)
+
     l = ConVec(eq=beq, sb=jnp.broadcast_to(x_min, (H, NX)),
                cb=jnp.broadcast_to(u_min, (W, NU)), obs=lo)
     u = ConVec(eq=beq, sb=jnp.broadcast_to(x_max, (H, NX)),
-               cb=jnp.broadcast_to(u_max, (W, NU)),
-               obs=jnp.full((W, K), INF))
+               cb=jnp.broadcast_to(u_max, (W, NU)), obs=hi)
     return QPData(q=q, l=l, u=u, G=G, obs_dyn=obs_dyn * obs_active,
-                  obs_active=obs_active)
+                  obs_active=obs_active, obs_slack=slack_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -220,6 +239,7 @@ def a_matvec(cfg: PlannerConfig, qp: QPData, z: jnp.ndarray) -> ConVec:
     sb = X
     cb = U
     slack = qp.obs_dyn * U[:, 3:4] + (1.0 - qp.obs_dyn) * U[:, 4:5]
+    slack = slack * qp.obs_slack
     # obs row (i,k): G . p_i - s_i  (note: state index i, 0..W-1; mpcPlanner.cpp:1061-1069)
     obs = jnp.einsum("wkd,wd->wk", qp.G, p[:-1], precision=PREC) - slack * qp.obs_active
     return ConVec(eq=eq, sb=sb, cb=cb, obs=obs)
@@ -257,8 +277,9 @@ def at_matvec(cfg: PlannerConfig, qp: QPData, w: ConVec) -> jnp.ndarray:
     # obstacle rows
     wobs = w.obs * qp.obs_active                   # (W,K)
     Xg = Xg.at[:-1, 0:3].add(jnp.einsum("wk,wkd->wd", wobs, qp.G, precision=PREC))
-    Ug = Ug.at[:, 3].add(-jnp.sum(wobs * qp.obs_dyn, axis=-1))
-    Ug = Ug.at[:, 4].add(-jnp.sum(wobs * (1.0 - qp.obs_dyn), axis=-1))
+    ws = wobs * qp.obs_slack
+    Ug = Ug.at[:, 3].add(-jnp.sum(ws * qp.obs_dyn, axis=-1))
+    Ug = Ug.at[:, 4].add(-jnp.sum(ws * (1.0 - qp.obs_dyn), axis=-1))
     return merge_z(Xg, Ug)
 
 
@@ -295,7 +316,8 @@ def a_rowmax(cfg: PlannerConfig, qp: QPData, D: jnp.ndarray) -> ConVec:
     sb = Dx
     cb = Du
     gmax = jnp.max(jnp.abs(qp.G) * Dx[:-1, None, 0:3], axis=-1)  # (W,K)
-    du_slack = qp.obs_dyn * Du[:, 3:4] + (1.0 - qp.obs_dyn) * Du[:, 4:5]
+    du_slack = (qp.obs_dyn * Du[:, 3:4]
+                + (1.0 - qp.obs_dyn) * Du[:, 4:5]) * qp.obs_slack
     obs = jnp.maximum(gmax, du_slack) * qp.obs_active
     return ConVec(eq=eq, sb=sb, cb=cb, obs=obs)
 
@@ -315,8 +337,9 @@ def a_colmax(cfg: PlannerConfig, qp: QPData, E: ConVec) -> jnp.ndarray:
     # u columns
     cu = jnp.max(jnp.abs(B)[None] * E.eq[1:, :, None], axis=1)     # (W,5)
     cu = jnp.maximum(cu, E.cb)
-    cu = cu.at[:, 3].max(jnp.max(eobs * qp.obs_dyn, axis=-1))
-    cu = cu.at[:, 4].max(jnp.max(eobs * (1.0 - qp.obs_dyn), axis=-1))
+    es = eobs * qp.obs_slack
+    cu = cu.at[:, 3].max(jnp.max(es * qp.obs_dyn, axis=-1))
+    cu = cu.at[:, 4].max(jnp.max(es * (1.0 - qp.obs_dyn), axis=-1))
     return merge_z(cx, cu)
 
 
@@ -386,14 +409,15 @@ def assemble_normal_matrix(cfg: PlannerConfig, qp: QPData, hdiag: jnp.ndarray,
     # pos-pos 3x3 blocks
     PP = jnp.einsum("wk,wka,wkb->wab", ro, Gw, Gw, precision=PREC)     # (W,3,3)
     M = scat(M, xi, xi, PP, 3, 3)
-    # slack diag at u_i[3] / u_i[4]
-    sd = jnp.sum(ro * qp.obs_dyn, axis=-1)             # (W,)
-    ss = jnp.sum(ro * (1.0 - qp.obs_dyn), axis=-1)
+    # slack diag at u_i[3] / u_i[4] (rows with a slack column only)
+    rs = ro * qp.obs_slack
+    sd = jnp.sum(rs * qp.obs_dyn, axis=-1)             # (W,)
+    ss = jnp.sum(rs * (1.0 - qp.obs_dyn), axis=-1)
     M = M.at[ui + 3, ui + 3].add(sd)
     M = M.at[ui + 4, ui + 4].add(ss)
     # pos-slack cross: -rho g per slack column
-    cd = -jnp.einsum("wk,wka->wa", ro * qp.obs_dyn, Gw, precision=PREC)          # (W,3)
-    cs = -jnp.einsum("wk,wka->wa", ro * (1.0 - qp.obs_dyn), Gw, precision=PREC)  # (W,3)
+    cd = -jnp.einsum("wk,wka->wa", rs * qp.obs_dyn, Gw, precision=PREC)          # (W,3)
+    cs = -jnp.einsum("wk,wka->wa", rs * (1.0 - qp.obs_dyn), Gw, precision=PREC)  # (W,3)
     rr3 = xi[:, None] + jnp.arange(3)[None, :]
     M = M.at[rr3, (ui + 3)[:, None]].add(cd)
     M = M.at[(ui + 3)[:, None], rr3].add(cd)
