@@ -87,7 +87,7 @@ def intent_probabilities(cfg: PredictorConfig, pos_hist, vel_hist, hist_len):
     T = transition_matrix(cfg, theta, r)              # (O, Hh-2, 4, 4)
     T = jnp.where(valid[..., None, None], T, jnp.eye(4))
 
-    P0 = jnp.full((O, 4), 0.25)
+    P0 = jnp.full((O, 4), 0.25, T.dtype)
 
     def fold(P, Tk):
         return jnp.einsum("oij,oj->oi", Tk, P,

@@ -76,13 +76,16 @@ def batch_rollout(cfg: IntentMPCConfig, scenarios: Scenario,
         agg = {k: float(v) for k, v in local.items()}
         return metrics, agg
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     @jax.jit
     @partial(shard_map, mesh=mesh,
              in_specs=(P("batch"), P()),
              out_specs=(P("batch"), P()),
-             check_rep=False)
+             check_vma=False)
     def sharded(scen, ref):
         m, local = run_shard(scen, ref)
         # ICI/DCN collective reduction of fleet statistics
