@@ -177,3 +177,94 @@ def admm_solve_batch(cfg: PlannerConfig, qps: QPData, max_iter: int,
                      x0: jnp.ndarray) -> ADMMResult:
     """vmapped solve over a leading candidate/batch axis."""
     return jax.vmap(lambda q, x: admm_solve(cfg, q, x, max_iter))(qps, x0)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-fused path: setup (scaling / factorization / dense-A
+# materialization) in XLA, the iteration loop in a VMEM-resident kernel
+# (ops/pallas_admm.py).
+# ---------------------------------------------------------------------------
+
+def _dense_scaled_problem(cfg: PlannerConfig, qp: QPData, x0,
+                          scfg: SolverConfig, n_pad: int, m_pad: int):
+    """Per-candidate kernel inputs: Ruiz scaling applied to the dense A."""
+    import intent_mpc_tpu.ops.pallas_admm as pk
+
+    n = cfg.num_vars
+    hdiag = qplib.hessian_diag(cfg)
+    sc = ruiz_equilibrate(cfg, qp, hdiag, scfg.scaling_iters)
+    D, E, c = sc.D, sc.E, sc.c
+    h_s = c * D * D * hdiag
+    q_s = c * D * qp.q
+    rho = qplib.rho_vec(cfg, qp, scfg.rho, scfg.rho_eq_scale)
+    rho_inner = rho.map(lambda r, e: r * e * e, E)
+    M = qplib.assemble_normal_matrix(cfg, qp, h_s, scfg.sigma, rho_inner,
+                                     col_scale=D)
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.eye(n, dtype=M.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    Minv = jnp.matmul(Linv.T, Linv, precision=_PREC)
+
+    A = qplib.dense_a_matrix(cfg, qp)                # (m, n) unscaled
+    e_flat = qplib.con_to_flat(E)
+    A_s = e_flat[:, None] * A * D[None, :]
+    m = A.shape[0]
+
+    def pad_mat(Mx):
+        out = jnp.eye(n_pad, dtype=Mx.dtype)
+        return out.at[:n, :n].set(Mx)
+
+    A_pad = jnp.zeros((m_pad, n_pad), A.dtype).at[:m, :n].set(A_s)
+    rho_flat = jnp.full(m_pad, 1e-6).at[:m].set(qplib.con_to_flat(rho))
+    lo = jnp.full(m_pad, -jnp.inf).at[:m].set(
+        qplib.con_to_flat(qp.l.scale(E)))
+    hi = jnp.full(m_pad, jnp.inf).at[:m].set(
+        qplib.con_to_flat(qp.u.scale(E)))
+
+    def col(v, size):
+        return jnp.zeros((size, 1), v.dtype).at[: v.shape[0], 0].set(v)
+
+    return pk.DenseScaledProblem(
+        minv=pad_mat(Minv), mmat=pad_mat(M), amat=A_pad,
+        q=col(q_s, n_pad), x0=col(x0 / D, n_pad),
+        rho=rho_flat[:, None], lo=lo[:, None], hi=hi[:, None]), (D, E, c)
+
+
+def admm_solve_pallas(cfg: PlannerConfig, qps: QPData, x0: jnp.ndarray,
+                      max_iter: Optional[int] = None,
+                      scfg: Optional[SolverConfig] = None,
+                      feas_tol: float = 5e-2,
+                      interpret: bool = False) -> ADMMResult:
+    """Batched solve with the fused Pallas iteration kernel. qps/x0 carry a
+    leading candidate axis. Problems whose dense A exceeds the VMEM budget
+    should use the XLA path instead (admm_solve_batch)."""
+    import intent_mpc_tpu.ops.pallas_admm as pk
+
+    scfg = scfg or cfg.solver
+    iters = max_iter if max_iter is not None else scfg.max_iter
+    n = cfg.num_vars
+    H, W = cfg.horizon, cfg.mpc_window
+    K = qps.G.shape[2]
+    m = 2 * 8 * H + 5 * W + K * W
+    n_pad = ((n + 127) // 128) * 128
+    m_pad = ((m + 127) // 128) * 128
+
+    sp, scales = jax.vmap(
+        lambda q, x: _dense_scaled_problem(cfg, q, x, scfg, n_pad, m_pad)
+    )(qps, x0)
+    xs = pk.admm_iterations_dense(sp, iters, scfg.sigma, scfg.alpha,
+                                  interpret=interpret)
+    D, E, c = scales
+    x = D * xs[:, :n]
+
+    def residuals(qp, xi):
+        ax = qplib.a_matvec(cfg, qp, xi)
+        z = ax.map(lambda a, li, ui: jnp.clip(a, li, ui), qp.l, qp.u)
+        return (ax - z).inf_norm()
+
+    prim = jax.vmap(residuals)(qps, x)
+    y0 = jax.vmap(lambda q, xi: ConVec(*(jnp.zeros_like(a) for a in
+                                         qplib.a_matvec(cfg, q, xi))))(qps, x)
+    return ADMMResult(x=x, y=y0, prim_res=prim,
+                      dual_res=jnp.zeros_like(prim),
+                      solved=prim < feas_tol)
