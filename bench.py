@@ -29,6 +29,8 @@ def main():
                     help="ADMM iterations per solve (default: config)")
     ap.add_argument("--platform", type=str, default=None,
                     help="force jax platform (e.g. cpu)")
+    ap.add_argument("--latency", action="store_true",
+                    help="also measure per-cycle dispatch latency (p50/p99)")
     args = ap.parse_args()
 
     if args.platform:
@@ -93,6 +95,36 @@ def main():
           f"obstacles={args.obstacles} elapsed={elapsed:.3f}s "
           f"cycle={cycle_ms:.1f}ms compile={compile_time:.1f}s "
           f"device={jax.devices()[0].platform}", file=sys.stderr)
+
+    if args.latency:
+        # per-replan-cycle latency (the 100 ms real-time budget;
+        # per-candidate-solve budget is 50 ms in the reference)
+        @jax.jit
+        def single_cycle(c, i):
+            c2, _ = jax.vmap(
+                lambda cc, s: cl.episode_step(cfg, s, ref, traj_len, occ, cc,
+                                              i, solver_iters=args.iters),
+                in_axes=(0, 0))(c, scenarios)
+            return c2
+
+        c = carry0
+        c = single_cycle(c, jnp.asarray(0, jnp.int32))
+        jax.block_until_ready(c)
+        c = single_cycle(c, jnp.asarray(1, jnp.int32))
+        jax.block_until_ready(c)
+        lats = []
+        for i in range(2, 2 + 50):
+            t0 = time.time()
+            c = single_cycle(c, jnp.asarray(i, jnp.int32))
+            jax.block_until_ready(c)
+            lats.append(time.time() - t0)
+        import numpy as np
+        lats_ms = np.array(lats) * 1000.0
+        print(f"# cycle latency ms over {len(lats)} cycles: "
+              f"p50={np.percentile(lats_ms, 50):.1f} "
+              f"p99={np.percentile(lats_ms, 99):.1f} "
+              f"max={lats_ms.max():.1f} (budget 100 ms/replan)",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

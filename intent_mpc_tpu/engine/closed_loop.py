@@ -134,11 +134,19 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         cfg.detector, d, scenario.bbox, carry.pos)
 
     # ---- predictor + MPC (mpcCB :290-365) ----
-    prediction = predlib.predict(cfg.predictor, pos_h, vel_h, acc_h, size_h,
-                                 hist_len, occ)
-    plan_out = mpclib.make_plan_with_pred(
-        cfg.planner, carry.planner, carry.pos, carry.vel, ref_traj, traj_len,
-        prediction, visible, solver_iters)
+    if ecfg.use_predictor:
+        prediction = predlib.predict(cfg.predictor, pos_h, vel_h, acc_h,
+                                     size_h, hist_len, occ)
+        plan_out = mpclib.make_plan_with_pred(
+            cfg.planner, carry.planner, carry.pos, carry.vel, ref_traj,
+            traj_len, prediction, visible, solver_iters)
+    else:
+        # use_predictor=false: obstacles held constant over the horizon
+        # (mpcNavigation.cpp:301-311 + updateDynamicObstacles)
+        plan_out = mpclib.make_plan(
+            cfg.planner, carry.planner, carry.pos, carry.vel, ref_traj,
+            traj_len, pos_h[:, 0], vel_h[:, 0], size_h[:, 0], visible,
+            solver_iters)
 
     run_mpc = active & ~carry.stopping
     planner = jax.tree.map(

@@ -223,6 +223,9 @@ class EngineConfig:
     goal_vel_threshold: float = 0.1
     goal_stop_threshold: float = 0.3     # replanCheckCB goal-dist (mpcNavigation.cpp:423)
     perfect_tracking: bool = False       # True: odom == commanded target
+    use_predictor: bool = True           # autonomous_flight/use_predictor:
+                                         # False -> constant-obstacle MPC
+                                         # (updateDynamicObstacles + makePlan)
     vel_limit: float = 5.0               # DYNUS Linf violation limits
     acc_limit: float = 20.0
     jerk_limit: float = 100.0

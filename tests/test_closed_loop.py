@@ -76,3 +76,16 @@ def test_obstacle_in_path_is_avoided(setup):
     assert not s["collision"], s
     # it deviated laterally to avoid
     assert float(np.abs(np.asarray(path)[:, 1]).max()) > 0.2
+
+
+def test_nonpredictor_engine_mode(setup):
+    """use_predictor=False: constant-obstacle MPC still reaches the goal."""
+    import dataclasses
+    cfg, sc, ref = setup
+    cfg2 = cfg.replace(engine=dataclasses.replace(cfg.engine,
+                                                  use_predictor=False))
+    carry, _ = run_episode(cfg2, sc, ref, jnp.asarray(ref.shape[0]),
+                           solver_iters=60)
+    s = summarize(cfg2, carry)
+    assert s["goal_reached"], s
+    assert not s["collision"], s
