@@ -169,6 +169,46 @@ def cast_ray(grid: OccupancyGrid, start, end, samples: int = 256):
     return any_hit, jnp.where(any_hit, pts[first], end)
 
 
+def free_regions(occ: jnp.ndarray, origin, resolution,
+                 lowers, uppers) -> jnp.ndarray:
+    """Clear axis-aligned boxes in an occupancy grid — dynamicMap::freeRegions
+    (map_manager/dynamicMap.cpp:23-66): voxels around detected dynamic
+    obstacles are forced free so moving obstacles don't smear into the
+    static map. lowers/uppers (R, 3) world-space box corners."""
+    origin = jnp.asarray(origin)
+    dims = occ.shape
+    ii = jnp.arange(dims[0])[:, None, None]
+    jj = jnp.arange(dims[1])[None, :, None]
+    kk = jnp.arange(dims[2])[None, None, :]
+    centers = jnp.stack(jnp.broadcast_arrays(
+        origin[0] + (ii + 0.5) * resolution,
+        origin[1] + (jj + 0.5) * resolution,
+        origin[2] + (kk + 0.5) * resolution), axis=-1)
+    inside = jnp.zeros(dims, bool)
+    for r in range(lowers.shape[0]):
+        inb = jnp.all((centers >= lowers[r]) & (centers <= uppers[r]),
+                      axis=-1)
+        inside = inside | inb
+    return jnp.where(inside, 0, occ).astype(occ.dtype)
+
+
+def save_map(path: str, m: LogOddsMap) -> None:
+    """Persist a map (save_map_node / prebuilt_map_directory equivalent —
+    npz instead of .pcd)."""
+    import numpy as np
+    np.savez_compressed(path, log_odds=np.asarray(m.log_odds),
+                        origin=np.asarray(m.origin),
+                        resolution=np.asarray(m.resolution))
+
+
+def load_map(path: str) -> LogOddsMap:
+    import numpy as np
+    d = np.load(path)
+    return LogOddsMap(log_odds=jnp.asarray(d["log_odds"]),
+                      origin=jnp.asarray(d["origin"]),
+                      resolution=jnp.asarray(d["resolution"]))
+
+
 def _sq_dist_transform_1d(f: jnp.ndarray, chunk: int = 64) -> jnp.ndarray:
     """Exact 1-D squared distance transform along the last axis:
     out[i] = min_j f[j] + (i-j)^2 (voxel units). Broadcasted min-plus."""

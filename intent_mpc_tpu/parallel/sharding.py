@@ -47,17 +47,20 @@ def shard_scenarios(scenarios: Scenario, mesh: Mesh) -> Scenario:
 def batch_rollout(cfg: IntentMPCConfig, scenarios: Scenario,
                   ref_traj: jnp.ndarray, traj_len, mesh: Optional[Mesh] = None,
                   solver_iters: Optional[int] = None,
-                  num_cycles: Optional[int] = None):
+                  num_cycles: Optional[int] = None,
+                  record_paths: bool = False):
     """Run a batch of episodes (sharded over the mesh when given).
 
     Returns (per-scenario Metrics batch, aggregate dict of psum-reduced
-    fleet statistics)."""
+    fleet statistics[, paths (B, C, 3) when record_paths])."""
 
     def run_shard(scen, ref):
-        carry = jax.vmap(
+        out = jax.vmap(
             lambda s: cl.run_episode(cfg, s, ref, traj_len,
                                      solver_iters=solver_iters,
-                                     num_cycles=num_cycles)[0])(scen)
+                                     num_cycles=num_cycles,
+                                     record_path=record_paths))(scen)
+        carry, paths = out
         m = carry.metrics
         local = {
             "episodes": jnp.asarray(m.goal_reached.shape[0], jnp.float32),
@@ -69,11 +72,13 @@ def batch_rollout(cfg: IntentMPCConfig, scenarios: Scenario,
             "solve_attempts": jnp.sum(m.solve_attempts.astype(jnp.float32)),
             "solve_successes": jnp.sum(m.solve_successes.astype(jnp.float32)),
         }
-        return m, local
+        return (m, paths) if record_paths else (m, None), local
 
     if mesh is None:
-        metrics, local = jax.jit(run_shard)(scenarios, ref_traj)
+        (metrics, paths), local = jax.jit(run_shard)(scenarios, ref_traj)
         agg = {k: float(v) for k, v in local.items()}
+        if record_paths:
+            return metrics, agg, paths
         return metrics, agg
 
     try:
@@ -87,15 +92,18 @@ def batch_rollout(cfg: IntentMPCConfig, scenarios: Scenario,
              out_specs=(P("batch"), P()),
              check_vma=False)
     def sharded(scen, ref):
-        m, local = run_shard(scen, ref)
+        (m, paths), local = run_shard(scen, ref)
         # ICI/DCN collective reduction of fleet statistics
         red = {k: (jax.lax.pmin(v, "batch") if k == "min_dist_min"
                    else jax.lax.psum(v, "batch"))
                for k, v in local.items()}
-        return m, red
+        return (m, paths) if record_paths else (m, jnp.zeros(1)), red
 
-    metrics, agg = sharded(shard_scenarios(scenarios, mesh), ref_traj)
-    return metrics, {k: float(v) for k, v in agg.items()}
+    (metrics, paths), agg = sharded(shard_scenarios(scenarios, mesh), ref_traj)
+    agg = {k: float(v) for k, v in agg.items()}
+    if record_paths:
+        return metrics, agg, paths
+    return metrics, agg
 
 
 def aggregate_summary(agg: dict) -> dict:

@@ -145,7 +145,11 @@ class SolverConfig:
     max_iter: int = 100
     warm_start: bool = True
     scaling_iters: int = 3            # Ruiz equilibration sweeps (0 disables)
-    refine_iters: int = 1             # iterative-refinement steps per x-update (f32)
+    refine_iters: int = 0             # iterative-refinement steps per x-update.
+                                      # 0 halves the HBM-bound factor traffic per
+                                      # iteration; measured f32 floor cost is only
+                                      # ~1.5e-3 in positions (tests use 1 for the
+                                      # tightest parity)
     eps_abs: float = 1e-3             # used only for residual reporting
     eps_rel: float = 1e-3
 

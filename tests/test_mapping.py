@@ -63,3 +63,23 @@ def test_esdf_signed_distances():
     np.testing.assert_allclose(d[8, 12, 4], 2.0, atol=1e-5)
     # diagonal voxel: sqrt(2)*0.5
     np.testing.assert_allclose(d[9, 9, 4], np.sqrt(2) * 0.5, atol=1e-5)
+
+
+def test_free_regions_clears_boxes():
+    occ = jnp.ones((10, 10, 4), jnp.int8)
+    lowers = jnp.asarray([[0.4, 0.4, 0.0]])
+    uppers = jnp.asarray([[1.2, 1.2, 2.0]])
+    out = np.asarray(mapping.free_regions(occ, (0, 0, 0), 0.2, lowers, uppers))
+    assert out[3, 3, 2] == 0      # inside box (0.7, 0.7, 0.5)
+    assert out[8, 8, 2] == 1      # outside
+
+
+def test_save_load_roundtrip(tmp_path, cfg):
+    m = mapping.init_map(origin=(0, 0, 0), size_m=(2, 2, 1), cfg=cfg)
+    m = m._replace(log_odds=m.log_odds.at[1, 2, 3].set(1.5))
+    p = str(tmp_path / "map.npz")
+    mapping.save_map(p, m)
+    m2 = mapping.load_map(p)
+    np.testing.assert_allclose(np.asarray(m2.log_odds),
+                               np.asarray(m.log_odds))
+    np.testing.assert_allclose(float(m2.resolution), 0.2)
