@@ -45,6 +45,7 @@ class PlannerState(NamedTuple):
     has_solution: jnp.ndarray   # bool  (any successful solve yet)
     last_ref_start: jnp.ndarray  # int32 (lastRefStartIdx_)
     xref: jnp.ndarray           # (H, 3) last reference window (ref_)
+    rho: jnp.ndarray            # scalar: temporally-adapted ADMM penalty
 
 
 class PlanOutput(NamedTuple):
@@ -65,6 +66,7 @@ def init_planner_state(cfg: PlannerConfig) -> PlannerState:
         has_solution=jnp.asarray(False),
         last_ref_start=jnp.asarray(0, jnp.int32),
         xref=jnp.zeros((H, 3), jnp.float32),
+        rho=jnp.asarray(cfg.solver.rho, jnp.float32),
     )
 
 
@@ -310,7 +312,8 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
                      jnp.zeros(cfg.num_vars))
     warm6 = jnp.broadcast_to(warm, (6,) + warm.shape)
 
-    res = jax.vmap(lambda q, x: admm_solve(cfg, q, x, max_iter))(qps, warm6)
+    res = jax.vmap(lambda q, x: admm_solve(cfg, q, x, max_iter,
+                                           rho_override=state.rho))(qps, warm6)
     states6 = jax.vmap(lambda x: qplib.split_z(x, cfg)[0])(res.x)  # (6,H,8)
     controls6 = jax.vmap(lambda x: qplib.split_z(x, cfg)[1])(res.x)
 
@@ -339,6 +342,7 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
         has_solution=state.has_solution | valid,
         last_ref_start=new_start,
         xref=jnp.where(valid, xref, state.xref),
+        rho=res.rho_suggest[best],
     )
     return PlanOutput(state=new_state, valid=valid, best_idx=best,
                       candidate_states=states6, solved=res.solved,
@@ -384,7 +388,7 @@ def make_plan(cfg: PlannerConfig, state: PlannerState,
     warm = jnp.where(state.has_solution,
                      qplib.merge_z(state.states_sol, state.controls_sol),
                      jnp.zeros(cfg.num_vars))
-    res = admm_solve(cfg, qp, warm, max_iter)
+    res = admm_solve(cfg, qp, warm, max_iter, rho_override=state.rho)
     Xs, Us = qplib.split_z(res.x, cfg)
     accepted = jnp.isfinite(res.prim_res) & (res.prim_res < 1e3) \
         & jnp.all(jnp.isfinite(res.x))
@@ -394,7 +398,8 @@ def make_plan(cfg: PlannerConfig, state: PlannerState,
         first_time=state.first_time & ~accepted,
         has_solution=state.has_solution | accepted,
         last_ref_start=new_start,
-        xref=jnp.where(accepted, xref, state.xref))
+        xref=jnp.where(accepted, xref, state.xref),
+        rho=res.rho_suggest)
     one = jnp.zeros(6, bool).at[0].set(accepted)
     return PlanOutput(state=new_state, valid=accepted,
                       best_idx=jnp.asarray(0, jnp.int32),

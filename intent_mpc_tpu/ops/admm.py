@@ -46,6 +46,8 @@ class ADMMResult(NamedTuple):
     prim_res: jnp.ndarray   # scalar ||Ax - z||_inf (unscaled)
     dual_res: jnp.ndarray   # scalar ||Px + q + A^T y||_inf (unscaled)
     solved: jnp.ndarray     # bool: primal residual within tolerance
+    rho_suggest: jnp.ndarray  # OSQP adaptive-rho suggestion for the NEXT
+                              # solve of this (slowly-evolving) problem
 
 
 class Scaling(NamedTuple):
@@ -95,8 +97,15 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
                x0: Optional[jnp.ndarray] = None,
                max_iter: Optional[int] = None,
                scfg: Optional[SolverConfig] = None,
-               feas_tol: float = 5e-2) -> ADMMResult:
-    """Solve one QP (vmap over a leading axis for batches)."""
+               feas_tol: float = 5e-2,
+               rho_override=None) -> ADMMResult:
+    """Solve one QP (vmap over a leading axis for batches).
+
+    rho_override: scalar base penalty replacing scfg.rho — used for
+    *temporal* rho adaptation: the closed loop carries the adapted rho of
+    the previous replan cycle (the problems evolve slowly, so OSQP's
+    adaptive-rho fixed point transfers), avoiding in-solve refactorization.
+    """
     scfg = scfg or cfg.solver
     n = cfg.num_vars
     hdiag = qplib.hessian_diag(cfg)
@@ -108,7 +117,8 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
     l_s = qp.l.scale(E)
     u_s = qp.u.scale(E)
 
-    rho = qplib.rho_vec(cfg, qp, scfg.rho, scfg.rho_eq_scale)
+    rho_base = scfg.rho if rho_override is None else rho_override
+    rho = qplib.rho_vec(cfg, qp, rho_base, scfg.rho_eq_scale)
     # scaled rows: rho acts on scaled A rows -> effective rho_row * E^2 inside
     # A^T rho A of the scaled system is handled by scaling A itself; we fold
     # E into the matvecs below instead.
@@ -166,10 +176,24 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
 
     ax = qplib.a_matvec(cfg, qp, x)
     prim = (ax - z).inf_norm()
-    dual_vec = hdiag * x + qp.q + qplib.at_matvec(cfg, qp, y)
+    aty = qplib.at_matvec(cfg, qp, y)
+    dual_vec = hdiag * x + qp.q + aty
     dual = jnp.max(jnp.abs(dual_vec))
+
+    # OSQP adaptive-rho suggestion from scaled relative residuals
+    prim_rel = prim / jnp.maximum(jnp.maximum(ax.inf_norm(), z.inf_norm()),
+                                  1e-10)
+    dual_rel = dual / jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(hdiag * x)),
+                    jnp.maximum(jnp.max(jnp.abs(aty)),
+                                jnp.max(jnp.abs(qp.q)))), 1e-10)
+    ratio = jnp.sqrt(prim_rel / jnp.maximum(dual_rel, 1e-12))
+    do_adapt = (ratio > 5.0) | (ratio < 0.2)
+    rho_next = jnp.where(do_adapt,
+                         jnp.clip(rho_base * ratio, 1e-4, 1e3), rho_base)
     return ADMMResult(x=x, y=y, prim_res=prim, dual_res=dual,
-                      solved=prim < feas_tol)
+                      solved=prim < feas_tol,
+                      rho_suggest=jnp.asarray(rho_next))
 
 
 @partial(jax.jit, static_argnums=(0, 2))
@@ -267,4 +291,5 @@ def admm_solve_pallas(cfg: PlannerConfig, qps: QPData, x0: jnp.ndarray,
                                          qplib.a_matvec(cfg, q, xi))))(qps, x)
     return ADMMResult(x=x, y=y0, prim_res=prim,
                       dual_res=jnp.zeros_like(prim),
-                      solved=prim < feas_tol)
+                      solved=prim < feas_tol,
+                      rho_suggest=jnp.full_like(prim, scfg.rho))
