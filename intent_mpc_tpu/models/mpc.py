@@ -342,7 +342,8 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
         has_solution=state.has_solution | valid,
         last_ref_start=new_start,
         xref=jnp.where(valid, xref, state.xref),
-        rho=res.rho_suggest[best],
+        rho=(res.rho_suggest[best] if cfg.solver.temporal_rho
+             else state.rho),
     )
     return PlanOutput(state=new_state, valid=valid, best_idx=best,
                       candidate_states=states6, solved=res.solved,
@@ -399,7 +400,7 @@ def make_plan(cfg: PlannerConfig, state: PlannerState,
         has_solution=state.has_solution | accepted,
         last_ref_start=new_start,
         xref=jnp.where(accepted, xref, state.xref),
-        rho=res.rho_suggest)
+        rho=(res.rho_suggest if cfg.solver.temporal_rho else state.rho))
     one = jnp.zeros(6, bool).at[0].set(accepted)
     return PlanOutput(state=new_state, valid=accepted,
                       best_idx=jnp.asarray(0, jnp.int32),

@@ -152,6 +152,12 @@ class SolverConfig:
                                       # tightest parity)
     eps_abs: float = 1e-3             # used only for residual reporting
     eps_rel: float = 1e-3
+    temporal_rho: bool = False        # carry OSQP's adaptive-rho suggestion
+                                      # across replan cycles. Off by default:
+                                      # in the chronically-infeasible DYNUS
+                                      # regime the adaptation destabilizes
+                                      # the compromise iterates (measured
+                                      # collision-rate regression)
 
 
 @dataclass(frozen=True)
