@@ -71,6 +71,9 @@ def run_trials(cfg: IntentMPCConfig, seeds: Sequence[int],
             "jerk_integral": float(m.jerk_abs_sum[i]) * dt,
             "mpc_solve_count": int(m.solve_attempts[i]),
             "mpc_solve_successes": int(m.solve_successes[i]),
+            "mpc_prim_res_avg": float(m.prim_res_sum[i])
+            / max(int(m.solve_attempts[i]), 1),
+            "mpc_prim_res_max": float(m.prim_res_max[i]),
         })
     return rows
 

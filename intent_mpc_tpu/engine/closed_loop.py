@@ -55,6 +55,8 @@ class Metrics(NamedTuple):
     jerk_abs_sum: jnp.ndarray
     solve_attempts: jnp.ndarray
     solve_successes: jnp.ndarray
+    prim_res_sum: jnp.ndarray     # accumulated chosen-candidate residuals
+    prim_res_max: jnp.ndarray
 
 
 def init_metrics() -> Metrics:
@@ -68,7 +70,8 @@ def init_metrics() -> Metrics:
         samples=zi, jerk_samples=zi,
         max_velocity=z, max_acceleration=z, sum_velocity=z, n_vel_valid=zi,
         jerk_sq_sum=z, jerk_abs_sum=z,
-        solve_attempts=zi, solve_successes=zi)
+        solve_attempts=zi, solve_successes=zi,
+        prim_res_sum=z, prim_res_max=z)
 
 
 class EngineCarry(NamedTuple):
@@ -156,9 +159,15 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
     traj_ready = carry.traj_ready | valid
     traj_age = jnp.where(valid, 0, carry.traj_age + 1)
 
+    best_prim = plan_out.prim_res[plan_out.best_idx]
     metrics = carry.metrics._replace(
         solve_attempts=carry.metrics.solve_attempts + run_mpc.astype(jnp.int32),
-        solve_successes=carry.metrics.solve_successes + valid.astype(jnp.int32))
+        solve_successes=carry.metrics.solve_successes + valid.astype(jnp.int32),
+        prim_res_sum=carry.metrics.prim_res_sum
+        + jnp.where(run_mpc, best_prim, 0.0),
+        prim_res_max=jnp.where(
+            run_mpc, jnp.maximum(carry.metrics.prim_res_max, best_prim),
+            carry.metrics.prim_res_max))
 
     # ---- goal-stop trigger (replanCheckCB :414-456) ----
     near_goal = (jnp.linalg.norm(carry.pos - goal) <= ecfg.goal_stop_threshold) \
@@ -319,4 +328,6 @@ def summarize(cfg: IntentMPCConfig, carry: EngineCarry) -> dict:
         "jerk_integral": float(m.jerk_abs_sum) * dt,
         "mpc_solve_count": int(m.solve_attempts),
         "mpc_solve_successes": int(m.solve_successes),
+        "mpc_prim_res_avg": float(m.prim_res_sum) / max(int(m.solve_attempts), 1),
+        "mpc_prim_res_max": float(m.prim_res_max),
     }
