@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from intent_mpc_tpu.engine import closed_loop as cl
 from intent_mpc_tpu.models.world import straight_line_ref_traj
 from intent_mpc_tpu.parallel import sharding as sh
 from intent_mpc_tpu.utils.config import IntentMPCConfig

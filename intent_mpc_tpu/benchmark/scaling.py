@@ -23,7 +23,6 @@ import jax.numpy as jnp
 
 def run_study(devices_list, per_device: int, cycles: int, obstacles: int,
               iters: int):
-    import dataclasses
     from intent_mpc_tpu.utils.config import small_config
     from intent_mpc_tpu.models.world import straight_line_ref_traj
     from intent_mpc_tpu.parallel import sharding as sh

@@ -30,7 +30,6 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from intent_mpc_tpu.models.occupancy import OccupancyGrid
 
 _M4 = jnp.array([
     [1.0, 4.0, 1.0, 0.0],

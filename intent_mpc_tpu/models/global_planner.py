@@ -27,7 +27,7 @@ goal_reach_distance 0.4, connect_goal_ratio 0.2, max_shortcut_dist 3.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

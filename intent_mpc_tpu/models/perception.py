@@ -26,7 +26,7 @@ reduced with segmented thresholding. Whole camera batches vmap.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

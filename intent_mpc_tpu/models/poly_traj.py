@@ -29,7 +29,6 @@ duration-dependent ceil(duration*res) (:998) — fixed shapes for XLA.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Optional
 
 import jax

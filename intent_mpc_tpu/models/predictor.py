@@ -16,7 +16,7 @@ C++. We iterate only the well-defined transitions.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

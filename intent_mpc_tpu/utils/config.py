@@ -19,7 +19,7 @@ from __future__ import annotations
 import dataclasses
 from dataclasses import dataclass
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclass(frozen=True)
