@@ -86,6 +86,8 @@ class EngineCarry(NamedTuple):
     has_prev_target: jnp.ndarray
     stopping: jnp.ndarray        # replanCheck goal-stop triggered
     stop_pos: jnp.ndarray
+    repeats_left: jnp.ndarray    # int32 path repetitions remaining
+    tracking_start: jnp.ndarray  # time the current tracking round began
     done: jnp.ndarray            # monitor goal criterion met
     metrics: Metrics
 
@@ -104,6 +106,8 @@ def init_carry(cfg: IntentMPCConfig, scenario: Scenario) -> EngineCarry:
         has_prev_target=jnp.asarray(False),
         stopping=jnp.asarray(False),
         stop_pos=start,
+        repeats_left=jnp.asarray(cfg.engine.repeat_path, jnp.int32),
+        tracking_start=jnp.zeros((), jnp.float32),
         done=jnp.asarray(False),
         metrics=init_metrics())
 
@@ -169,11 +173,20 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
             run_mpc, jnp.maximum(carry.metrics.prim_res_max, best_prim),
             carry.metrics.prim_res_max))
 
-    # ---- goal-stop trigger (replanCheckCB :414-456) ----
+    # ---- goal-stop / repeat trigger (replanCheckCB :414-456) ----
     near_goal = (jnp.linalg.norm(carry.pos - goal) <= ecfg.goal_stop_threshold) \
-        & (t0 >= 3.0)
-    stopping = carry.stopping | (near_goal & active)
+        & (t0 - carry.tracking_start >= 3.0)
+    do_repeat = near_goal & active & (carry.repeats_left > 1)
+    stopping = carry.stopping | (near_goal & active & (carry.repeats_left <= 1))
     stop_pos = jnp.where(carry.stopping, carry.stop_pos, carry.pos)
+    repeats_left = jnp.where(do_repeat, carry.repeats_left - 1,
+                             carry.repeats_left)
+    tracking_start = jnp.where(do_repeat, t0, carry.tracking_start)
+    # repeat: re-track the same path (updatePath resets planner state)
+    planner = jax.tree.map(
+        lambda fresh, cur: jnp.where(do_repeat, fresh, cur),
+        mpclib.init_planner_state(cfg.planner), planner)
+    traj_ready = traj_ready & ~do_repeat
 
     pos, vel = carry.pos, carry.vel
     ctrl = carry.controller
@@ -259,9 +272,13 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         prev_acc = jnp.where(active, ta, prev_acc)
         has_prev = has_prev | active
 
-        # goal criterion (run_mpc_benchmark.py:268-276)
+        # goal criterion (run_mpc_benchmark.py:268-276); with repeat_path
+        # (loop-path demos, where goal == path start) the trial only
+        # completes once the final round's goal stop has triggered
         reached = (jnp.linalg.norm(pos - goal) < ecfg.goal_dist_threshold) \
             & (jnp.linalg.norm(vel) < ecfg.goal_vel_threshold) & active
+        if ecfg.repeat_path > 1:
+            reached = reached & stopping
         metrics = metrics._replace(
             goal_reached=metrics.goal_reached | reached,
             travel_time=jnp.where(reached & ~done, tk + ecfg.control_dt,
@@ -274,7 +291,8 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         pos=pos, vel=vel, detector=d, planner=planner, controller=ctrl,
         traj_age=traj_age, traj_ready=traj_ready,
         prev_target_acc=prev_acc, has_prev_target=has_prev,
-        stopping=stopping, stop_pos=stop_pos, done=done, metrics=metrics)
+        stopping=stopping, stop_pos=stop_pos, repeats_left=repeats_left,
+        tracking_start=tracking_start, done=done, metrics=metrics)
     return new_carry, pos
 
 

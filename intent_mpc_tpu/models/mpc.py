@@ -356,27 +356,48 @@ def make_plan(cfg: PlannerConfig, state: PlannerState,
               obs_pos: jnp.ndarray, obs_vel: jnp.ndarray,
               obs_size: jnp.ndarray, visible: jnp.ndarray,
               max_iter: Optional[int] = None,
-              curr_yaw: Optional[jnp.ndarray] = None) -> PlanOutput:
+              curr_yaw: Optional[jnp.ndarray] = None,
+              static_obs=None) -> PlanOutput:
     """Non-predictor replanning cycle (mpcPlanner::makePlan :543-569 fed by
     updateDynamicObstacles :316-341): each obstacle held at its current
     position/size for the whole horizon, single QP solve.
 
     obs_pos/vel/size (O,3); the velocity is carried for parity with
-    updateDynamicObstacles' stored fields (the QP only uses pos/size)."""
+    updateDynamicObstacles' stored fields (the QP only uses pos/size).
+
+    static_obs: optional (centroid (S,3), size (S,3), yaw (S,), active (S,))
+    from obstacle clustering (getStaticObstacles); static rows use the
+    static safety distance, static slack column, and rotated-ellipsoid yaw
+    (updateObstacleParam :1186-1195)."""
     H, W = cfg.horizon, cfg.mpc_window
     O = obs_pos.shape[0]
     xref, new_start = reference_window(
         cfg, input_traj, traj_len, curr_pos, state.last_ref_start)
 
-    K = O + (2 if curr_yaw is not None else 0)
+    S = 0 if static_obs is None else static_obs[0].shape[0]
+    K = O + S + (2 if curr_yaw is not None else 0)
     qpos = jnp.zeros((W, K, 3)).at[:, :O].set(
         jnp.broadcast_to(obs_pos[None], (W, O, 3)))
     qsize = jnp.ones((W, K, 3)).at[:, :O].set(
         jnp.broadcast_to(obs_size[None] / 2.0 + cfg.dynamic_safety_dist,
                          (W, O, 3)))
+    qyaw = jnp.zeros((W, K))
+    qdyn = jnp.ones((W, K))
     active = jnp.zeros((W, K)).at[:, :O].set(
         jnp.broadcast_to(visible[None], (W, O)).astype(jnp.float32))
-    use_obs = (~state.first_time) & jnp.any(visible)
+    if static_obs is not None:
+        sc, ss, sy, sa = static_obs
+        qpos = qpos.at[:, O:O + S].set(jnp.broadcast_to(sc[None], (W, S, 3)))
+        qsize = qsize.at[:, O:O + S].set(jnp.broadcast_to(
+            ss[None] / 2.0 + cfg.static_safety_dist, (W, S, 3)))
+        qyaw = qyaw.at[:, O:O + S].set(jnp.broadcast_to(sy[None], (W, S)))
+        qdyn = qdyn.at[:, O:O + S].set(0.0)
+        active = active.at[:, O:O + S].set(
+            jnp.broadcast_to(sa[None], (W, S)).astype(jnp.float32))
+    use_obs = (~state.first_time) & (jnp.any(visible)
+                                     | (jnp.any(static_obs[3])
+                                        if static_obs is not None
+                                        else jnp.asarray(False)))
     active = active * use_obs.astype(active.dtype)
     fov = fov_halfspaces(curr_pos, curr_yaw) if curr_yaw is not None else None
 
@@ -384,8 +405,8 @@ def make_plan(cfg: PlannerConfig, state: PlannerState,
                     state.states_sol[:W, 0:3],
                     jnp.broadcast_to(curr_pos, (W, 3)))
     x0 = jnp.concatenate([curr_pos, curr_vel])
-    qp = qplib.build_qp(cfg, x0, xref, qpos, qsize, jnp.zeros((W, K)),
-                        jnp.ones((W, K)), active, lin, fov_rows=fov)
+    qp = qplib.build_qp(cfg, x0, xref, qpos, qsize, qyaw,
+                        qdyn, active, lin, fov_rows=fov)
     warm = jnp.where(state.has_solution,
                      qplib.merge_z(state.states_sol, state.controls_sol),
                      jnp.zeros(cfg.num_vars))

@@ -236,6 +236,9 @@ class EngineConfig:
     use_predictor: bool = True           # autonomous_flight/use_predictor:
                                          # False -> constant-obstacle MPC
                                          # (updateDynamicObstacles + makePlan)
+    repeat_path: int = 1                 # execute_path_times: re-track the
+                                         # reference path N times before the
+                                         # goal stop (replanCheckCB :438-455)
     vel_limit: float = 5.0               # DYNUS Linf violation limits
     acc_limit: float = 20.0
     jerk_limit: float = 100.0

@@ -89,3 +89,27 @@ def test_nonpredictor_engine_mode(setup):
     s = summarize(cfg2, carry)
     assert s["goal_reached"], s
     assert not s["collision"], s
+
+
+def test_repeat_path_re_tracks(setup):
+    """execute_path_times=2 with a loop path (the reference's circular-demo
+    use case: the path's last waypoint is near its first): after closing
+    the loop once, the planner resets and re-tracks instead of stopping."""
+    import dataclasses
+    cfg, sc, _ = setup
+    # out-and-back loop: (0,0,2) -> (6,0,2) -> (0,0,2)
+    out = np.asarray(straight_line_ref_traj((0, 0, 2), (6, 0, 2), 0.5))
+    back = np.asarray(straight_line_ref_traj((6, 0, 2), (0, 0, 2), 0.5))
+    loop = jnp.asarray(np.concatenate([out, back[1:]]))
+    cfg2 = cfg.replace(goal=(0.0, 0.0, 2.0),
+                       engine=dataclasses.replace(
+                           cfg.engine, repeat_path=2, timeout=12.0))
+    carry, path = run_episode(cfg2, sc, loop, jnp.asarray(loop.shape[0]),
+                              solver_iters=60, record_path=True)
+    p = np.asarray(path)
+    # the drone flies out at least twice (two loop rounds)
+    far = p[:, 0] > 3.0
+    runs = np.diff(far.astype(int))
+    num_excursions = int((runs == 1).sum())
+    assert num_excursions >= 2, p[:, 0].round(1)
+    assert int(carry.repeats_left) == 1

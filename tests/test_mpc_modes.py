@@ -80,3 +80,27 @@ def test_fov_rows_constrain_behind(cfg):
     ok = np.abs(x[1:, 1]) <= np.tan(43.5 * np.pi / 180) * np.maximum(
         x[1:, 0], 0.0) + 0.2
     assert ok.all(), x[:, :2]
+
+
+def test_make_plan_with_static_obstacles(cfg):
+    """Static obstacles (from clustering) use the static safety distance,
+    static slack column and yaw-rotated ellipsoids."""
+    ref = _ref(cfg)
+    st = mpclib.init_planner_state(cfg)
+    pos = jnp.array([0.0, 0.0, 2.0])
+    vel = jnp.array([1.0, 0.0, 0.0])
+    obs_pos = jnp.zeros((1, 3)).at[0].set(jnp.array([50.0, 0.0, 2.0]))
+    obs_vel = jnp.zeros((1, 3))
+    obs_size = jnp.ones((1, 3))
+    vis = jnp.zeros(1, bool)
+    static = (jnp.array([[5.0, 1.5, 2.0]]), jnp.array([[1.0, 2.0, 3.0]]),
+              jnp.array([0.5]), jnp.array([True]))
+    out = mpclib.make_plan(cfg, st, pos, vel, ref,
+                           jnp.asarray(ref.shape[0]), obs_pos, obs_vel,
+                           obs_size, vis, static_obs=static)
+    assert bool(out.valid)
+    out2 = mpclib.make_plan(cfg, out.state, pos, vel, ref,
+                            jnp.asarray(ref.shape[0]), obs_pos, obs_vel,
+                            obs_size, vis, static_obs=static)
+    assert bool(out2.valid)
+    assert np.isfinite(np.asarray(out2.state.states_sol)).all()
