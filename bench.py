@@ -31,6 +31,8 @@ def main():
                     help="force jax platform (e.g. cpu)")
     ap.add_argument("--latency", action="store_true",
                     help="also measure per-cycle dispatch latency (p50/p99)")
+    ap.add_argument("--profile", type=str, default=None,
+                    help="write a jax profiler trace to this directory")
     args = ap.parse_args()
 
     if args.platform:
@@ -76,10 +78,17 @@ def main():
     carry = run_cycles(carry, jnp.asarray(args.cycles, jnp.int32))
     jax.block_until_ready(carry)
 
-    t0 = time.time()
-    carry = run_cycles(carry, jnp.asarray(2 * args.cycles, jnp.int32))
-    jax.block_until_ready(carry)
-    elapsed = time.time() - t0
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            t0 = time.time()
+            carry = run_cycles(carry, jnp.asarray(2 * args.cycles, jnp.int32))
+            jax.block_until_ready(carry)
+            elapsed = time.time() - t0
+    else:
+        t0 = time.time()
+        carry = run_cycles(carry, jnp.asarray(2 * args.cycles, jnp.int32))
+        jax.block_until_ready(carry)
+        elapsed = time.time() - t0
 
     solves = args.batch * 6 * args.cycles
     sps = solves / elapsed
