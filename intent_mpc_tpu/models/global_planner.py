@@ -1,8 +1,9 @@
-"""Global planners: goal-biased RRT with shortcutting, PRM roadmap, and a
-grid wavefront planner.
+"""Global planners: goal-biased RRT with shortcutting, RRT* with rewiring,
+PRM roadmap, and a grid wavefront planner.
 
 Rebuild of global_planner/ (rrtOccMap.h goal-biased RRT + shortcut,
-rrtBase.h, PRMKDTree.cpp / PRMAstar.h). TPU-native redesign:
+rrtBase.h, rrtStarOctomap.h RRT*, PRMKDTree.cpp / PRMAstar.h). TPU-native
+redesign:
 
   * RRT (rrtOccMap::makePlan :183-290): the incremental tree lives in
     fixed-size arrays (nodes (N,3), parent (N,)); each lax.scan iteration
@@ -155,6 +156,124 @@ def _shortcut(occ: OccupancyGrid, path, n, cfg: RRTConfig):
     newp = path[jnp.clip(picks, 0, L - 1)]
     # entries past out_n repeat the endpoint (scan clamps at n-1)
     return newp, jnp.minimum(out_n, n)
+
+
+class RRTStarConfig(NamedTuple):
+    max_iters: int = 512
+    incremental_dist: float = 0.5
+    goal_reach_dist: float = 0.4
+    connect_goal_ratio: float = 0.2
+    edge_checks: int = 8
+    max_path_len: int = 64
+    neighborhood_radius: float = 1.0   # rrtStarOctomap.h rNeighborhood
+    cost_sweeps: int = 64              # parent-chain cost refresh depth
+
+
+def rrt_star_plan(occ: OccupancyGrid, start: jnp.ndarray, goal: jnp.ndarray,
+                  bounds_lo, bounds_hi, key,
+                  cfg: RRTStarConfig = RRTStarConfig()) -> RRTResult:
+    """RRT* (rrtStarOctomap.h:1-347 redesigned): goal-biased sampling with
+    choose-parent over a fixed neighborhood radius and neighbor rewiring.
+
+    Array-native differences from the reference: the tree lives in dense
+    (N,3)/(N,)/(N,) node/parent/cost arrays with masked argmin nearest
+    (exact, MXU-friendly) instead of a KD-tree; rewiring updates parent
+    pointers in one vectorized step; descendant costs (which the pointer
+    implementation updates recursively) are refreshed by `cost_sweeps`
+    rounds of cost[i] = cost[parent[i]] + |edge| after growth — exact once
+    sweeps >= tree depth."""
+    N = cfg.max_iters + 2
+    nodes = jnp.zeros((N, 3)).at[0].set(start)
+    parent = jnp.full(N, -1, jnp.int32)
+    cost = jnp.full(N, jnp.inf).at[0].set(0.0)
+    count = jnp.asarray(1, jnp.int32)
+    lo = jnp.asarray(bounds_lo, jnp.float32)
+    hi = jnp.asarray(bounds_hi, jnp.float32)
+    idx_all = jnp.arange(N)
+
+    def body(carry, it):
+        nodes, parent, cost, count = carry
+        k = jax.random.fold_in(key, it)
+        k1, k2 = jax.random.split(k)
+        toward_goal = jax.random.uniform(k1) < cfg.connect_goal_ratio
+        q_rand = jnp.where(toward_goal, goal,
+                           jax.random.uniform(k2, (3,)) * (hi - lo) + lo)
+
+        mask = idx_all < count
+        d = jnp.linalg.norm(nodes - q_rand[None, :], axis=-1)
+        ni = jnp.argmin(jnp.where(mask, d, jnp.inf))
+        q_near = nodes[ni]
+        vec = q_rand - q_near
+        dist = jnp.linalg.norm(vec)
+        q_new = q_near + vec / jnp.maximum(dist, 1e-9) \
+            * jnp.minimum(dist, cfg.incremental_dist)
+        free_new = ~is_occupied(occ, q_new)
+
+        # choose-parent: min cost-through over free in-radius neighbors
+        # (the nearest node is always in radius: steer caps the step at
+        # incremental_dist <= neighborhood_radius)
+        dn = jnp.linalg.norm(nodes - q_new[None, :], axis=-1)
+        near = mask & (dn <= cfg.neighborhood_radius)
+        efree = jax.vmap(lambda b: _edge_free(occ, b, q_new,
+                                              cfg.edge_checks))(nodes)
+        cand = near & efree
+        through = jnp.where(cand, cost + dn, jnp.inf)
+        pi = jnp.argmin(through)
+        have_parent = jnp.isfinite(through[pi])
+        pi = jnp.where(have_parent, pi, ni)
+        new_cost = jnp.where(have_parent, through[pi], cost[ni] + dist)
+        ok = free_new & have_parent
+
+        nodes = nodes.at[count].set(jnp.where(ok, q_new, nodes[count]))
+        parent = parent.at[count].set(jnp.where(ok, pi, parent[count]))
+        cost = cost.at[count].set(jnp.where(ok, new_cost, cost[count]))
+
+        # rewire: neighbors whose path through q_new is cheaper
+        better = cand & (new_cost + dn < cost) & (idx_all != pi) & ok
+        parent = jnp.where(better, count, parent)
+        cost = jnp.where(better, new_cost + dn, cost)
+
+        count = count + ok.astype(jnp.int32)
+        return (nodes, parent, cost, count), None
+
+    (nodes, parent, cost, count), _ = jax.lax.scan(
+        body, (nodes, parent, cost, count), jnp.arange(cfg.max_iters))
+
+    # refresh descendant costs invalidated by rewiring
+    dpar = jnp.linalg.norm(nodes - nodes[jnp.clip(parent, 0, N - 1)],
+                           axis=-1)
+
+    def sweep(c, _):
+        cp = jnp.where(parent >= 0, c[jnp.clip(parent, 0, N - 1)] + dpar, c)
+        return jnp.where(idx_all == 0, 0.0, cp), None
+
+    cost, _ = jax.lax.scan(sweep, cost, None, length=cfg.cost_sweeps)
+
+    # best goal-reaching node (min total cost), not first-reaching
+    mask = idx_all < count
+    near_goal = mask & (jnp.linalg.norm(nodes - goal[None, :], axis=-1)
+                        <= cfg.goal_reach_dist)
+    total = jnp.where(near_goal, cost, jnp.inf)
+    goal_idx = jnp.argmin(total)
+    done = jnp.isfinite(total[goal_idx])
+    goal_idx = jnp.where(done, goal_idx, -1)
+
+    L = cfg.max_path_len
+
+    def walk(idx, _):
+        nxt = jnp.where(idx >= 0, parent[jnp.clip(idx, 0, N - 1)], -1)
+        return nxt, idx
+
+    _, chain = jax.lax.scan(walk, goal_idx.astype(jnp.int32), None, length=L)
+    valid = chain >= 0
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    order = n_valid - 1 - jnp.arange(L)
+    src = jnp.where(order >= 0, chain[jnp.clip(order, 0, L - 1)], 0)
+    pts = jnp.where((jnp.arange(L) < n_valid)[:, None],
+                    nodes[src], goal[None, :])
+    pts = jnp.where(done, pts, jnp.broadcast_to(start, (L, 3)))
+    return RRTResult(path=pts, length=jnp.where(done, n_valid, 0),
+                     success=done)
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,21 @@ def const_vel_matrices(dt: float, eq: float = 0.33, er: float = 0.1):
     return A, B, H, Q, R
 
 
+def const_acc_matrices(dt: float, eq: float = 0.33, er: float = 0.1):
+    """Constant-acceleration model (kalmanFilterMatrixAcc :1970-2000):
+    states [p v a] (9), observation [p v] (position + finite-difference
+    velocity); acceleration is estimated, not observed."""
+    I3 = jnp.eye(3)
+    A = jnp.eye(9).at[0:3, 3:6].set(I3 * dt) \
+        .at[0:3, 6:9].set(I3 * 0.5 * dt * dt) \
+        .at[3:6, 6:9].set(I3 * dt)
+    B = jnp.zeros((9, 1))
+    H = jnp.zeros((6, 9)).at[0:6, 0:6].set(jnp.eye(6))
+    Q = jnp.eye(9) * eq
+    R = jnp.eye(6) * er
+    return A, B, H, Q, R
+
+
 # ---------------------------------------------------------------------------
 # Depth image -> point cloud (projectDepthImage :1240-1279)
 # ---------------------------------------------------------------------------
@@ -190,6 +205,7 @@ class Tracks(NamedTuple):
     P: jnp.ndarray        # (T, 6, 6) KF covariance
     age: jnp.ndarray      # (T,) frames tracked
     dyn_votes: jnp.ndarray  # (T,) dynamic-classification vote accumulator
+    miss: jnp.ndarray     # (T,) consecutive unmatched frames (coasting)
     live: jnp.ndarray     # (T,) bool
 
 
@@ -200,18 +216,22 @@ def init_tracks(max_tracks: int) -> Tracks:
                   P=jnp.tile(jnp.eye(6)[None], (T, 1, 1)),
                   age=jnp.zeros(T, jnp.int32),
                   dyn_votes=jnp.zeros(T),
+                  miss=jnp.zeros(T, jnp.int32),
                   live=jnp.zeros(T, bool))
 
 
 def track_step(tracks: Tracks, det_pos, det_size, det_valid, dt: float,
                match_max_dist: float = 1.5,
-               dyn_vel_thresh: float = 0.3) -> Tracks:
+               dyn_vel_thresh: float = 0.3,
+               miss_max: int = 10) -> Tracks:
     """One tracking cycle: propagate, associate, KF-update, classify.
 
     det_pos/size (D,3), det_valid (D,). Greedy nearest association against
     linearly-propagated tracks (linearProp + findBestMatch semantics with
     position features); unmatched detections open tracks in free slots;
-    unmatched tracks die.
+    unmatched tracks COAST on the predict-only KF (the reference's
+    out-of-range estimation, getDynamicObstaclesHist's kept-track
+    semantics) and die after `miss_max` consecutive unmatched frames.
     """
     T = tracks.pos.shape[0]
     D = det_pos.shape[0]
@@ -250,9 +270,11 @@ def track_step(tracks: Tracks, det_pos, det_size, det_valid, dt: float,
         return ks.x, ks.P
 
     xs, Ps = jax.vmap(upd)(xk, tracks.P, z)
-    new_pos = jnp.where(matched[:, None], xs[:, 0:3], tracks.pos)
+    # unmatched live tracks coast: predict-only state and covariance
+    P_pred = jnp.einsum("ij,tjk,lk->til", A, tracks.P, A) + Q[None]
+    new_pos = jnp.where(matched[:, None], xs[:, 0:3], prop)
     new_vel = jnp.where(matched[:, None], xs[:, 3:6], tracks.vel)
-    new_P = jnp.where(matched[:, None, None], Ps, tracks.P)
+    new_P = jnp.where(matched[:, None, None], Ps, P_pred)
     new_size = jnp.where(matched[:, None], det_size[det_idx], tracks.size)
 
     # dynamic classification votes: displacement against propagation
@@ -261,7 +283,8 @@ def track_step(tracks: Tracks, det_pos, det_size, det_valid, dt: float,
         matched, jnp.where(speed > dyn_vel_thresh, 1.0, -0.5), 0.0),
         0.0, 10.0)
 
-    live = tracks.live & matched
+    miss = jnp.where(matched, 0, tracks.miss + 1)
+    live = tracks.live & (matched | (miss <= miss_max))
     age = jnp.where(live, tracks.age + 1, 0)
 
     # open new tracks for unmatched detections
@@ -270,7 +293,7 @@ def track_step(tracks: Tracks, det_pos, det_size, det_valid, dt: float,
     det_new = det_valid & ~det_used
 
     def open_slot(state, di):
-        pos, vel, size, P, age, votes, live = state
+        pos, vel, size, P, age, votes, miss, live = state
         free = jnp.argmin(live)                     # first dead slot
         can = det_new[di] & ~live[free]
         pos = pos.at[free].set(jnp.where(can, det_pos[di], pos[free]))
@@ -279,14 +302,15 @@ def track_step(tracks: Tracks, det_pos, det_size, det_valid, dt: float,
         P = P.at[free].set(jnp.where(can, jnp.eye(6), P[free]))
         age = age.at[free].set(jnp.where(can, 1, age[free]))
         votes = votes.at[free].set(jnp.where(can, 0.0, votes[free]))
+        miss = miss.at[free].set(jnp.where(can, 0, miss[free]))
         live = live.at[free].set(live[free] | can)
-        return (pos, vel, size, P, age, votes, live), None
+        return (pos, vel, size, P, age, votes, miss, live), None
 
-    state = (new_pos, new_vel, new_size, new_P, age, votes, live)
+    state = (new_pos, new_vel, new_size, new_P, age, votes, miss, live)
     state, _ = jax.lax.scan(open_slot, state, jnp.arange(D))
-    pos, vel, size, P, age, votes, live = state
+    pos, vel, size, P, age, votes, miss, live = state
     return Tracks(pos=pos, vel=vel, size=size, P=P, age=age,
-                  dyn_votes=votes, live=live)
+                  dyn_votes=votes, miss=miss, live=live)
 
 
 def dynamic_obstacles(tracks: Tracks, vote_thresh: float = 2.0):

@@ -56,6 +56,37 @@ def test_rrt_is_deterministic_given_key(walled_map):
     np.testing.assert_array_equal(np.asarray(r1.path), np.asarray(r2.path))
 
 
+def test_rrt_star_finds_path_and_rewires_shorter(walled_map):
+    start = jnp.array([1.0, 2.0, 1.5])
+    goal = jnp.array([9.0, 2.0, 1.5])
+    res = gp.rrt_star_plan(walled_map, start, goal, (0.3, 0.3, 0.5),
+                           (9.7, 9.7, 2.5), jax.random.key(0),
+                           gp.RRTStarConfig(max_iters=800))
+    _check_path(walled_map, res, np.asarray(start), np.asarray(goal))
+
+    def plen(r):
+        p = np.asarray(r.path)[: int(r.length)]
+        return np.linalg.norm(np.diff(p, axis=0), axis=-1).sum()
+
+    # averaged over keys, rewired trees must not be longer than raw RRT
+    # paths before shortcutting (compare against un-shortcut RRT by using
+    # 0 shortcut rounds)
+    raw = gp.RRTConfig(max_iters=800, shortcut_rounds=0,
+                       max_shortcut_dist=0.0)
+    star_lens, rrt_lens = [], []
+    for k in range(3):
+        rs = gp.rrt_star_plan(walled_map, start, goal, (0.3, 0.3, 0.5),
+                              (9.7, 9.7, 2.5), jax.random.key(k),
+                              gp.RRTStarConfig(max_iters=800))
+        rr = gp.rrt_plan(walled_map, start, goal, (0.3, 0.3, 0.5),
+                         (9.7, 9.7, 2.5), jax.random.key(k), raw)
+        if bool(rs.success) and bool(rr.success):
+            star_lens.append(plen(rs))
+            rrt_lens.append(plen(rr))
+    assert star_lens, "no common successes"
+    assert np.mean(star_lens) <= np.mean(rrt_lens) + 1e-3
+
+
 def test_prm_finds_path(walled_map):
     start = jnp.array([1.0, 2.0, 1.5])
     goal = jnp.array([9.0, 2.0, 1.5])

@@ -90,3 +90,58 @@ def test_box_iou():
     c2 = jnp.array([1.0, 0.0, 0.0])
     iou = float(pc.box_iou(c, s, c2, s))
     assert 0.3 < iou < 0.4   # overlap 1x2x2=4, union 12 -> 1/3
+
+def test_const_acc_kf_estimates_acceleration():
+    """9-state KF converges on a constantly-accelerating target."""
+    dt = 0.1
+    A, B, H, Q, R = pc.const_acc_matrices(dt, eq=0.01, er=0.05)
+    acc = np.array([0.5, -0.2, 0.0])
+    ks = pc.KalmanState(jnp.zeros(9), jnp.eye(9) * 10.0)
+    prev = np.zeros(3)
+    for k in range(60):
+        t = dt * (k + 1)
+        p = 0.5 * acc * t * t
+        v_fd = (p - prev) / dt
+        prev = p
+        z = jnp.asarray(np.concatenate([p, v_fd]), jnp.float32)
+        ks = pc.kalman_estimate(ks, A, B, H, Q, R, z, jnp.zeros(1))
+    a_est = np.asarray(ks.x[6:9])
+    np.testing.assert_allclose(a_est, acc, atol=0.1)
+
+
+def test_tracks_coast_when_detection_drops_out():
+    """Out-of-range semantics: a track missing for a few frames keeps
+    its velocity-propagated estimate and re-associates when the
+    detection returns; it dies after miss_max frames."""
+    tracks = pc.init_tracks(4)
+    dt = 0.1
+    vel = np.array([1.0, 0.0, 0.0])
+
+    def det_at(k):
+        p = np.array([[2.0, 1.0, 1.0]]) + vel[None, :] * dt * k
+        return jnp.asarray(p), jnp.ones((1, 3)), jnp.ones(1, bool)
+
+    for k in range(10):
+        p, s, v = det_at(k)
+        tracks = pc.track_step(tracks, p, s, v, dt, miss_max=5)
+    assert int(tracks.live.sum()) == 1
+
+    # drop detections for 3 frames: track must coast, stay live
+    empty = (jnp.zeros((1, 3)), jnp.ones((1, 3)), jnp.zeros(1, bool))
+    for k in range(10, 13):
+        tracks = pc.track_step(tracks, *empty, dt, miss_max=5)
+    assert int(tracks.live.sum()) == 1
+    coasted = np.asarray(tracks.pos)[np.asarray(tracks.live)][0]
+    expect = np.array([2.0, 1.0, 1.0]) + vel * dt * 12
+    np.testing.assert_allclose(coasted, expect, atol=0.3)
+
+    # detection returns: re-associates with the same slot (no new track)
+    p, s, v = det_at(13)
+    tracks = pc.track_step(tracks, p, s, v, dt, miss_max=5)
+    assert int(tracks.live.sum()) == 1
+    assert int(tracks.age[np.asarray(tracks.live).argmax()]) > 10
+
+    # now starve past miss_max: track dies
+    for _ in range(7):
+        tracks = pc.track_step(tracks, *empty, dt, miss_max=5)
+    assert int(tracks.live.sum()) == 0
