@@ -31,6 +31,44 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "batch") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host entry: initialize jax.distributed so the mesh spans every
+    host's chips over DCN. Call once per process, before device queries.
+    With no arguments relies on the environment (TPU pod metadata or
+    JAX_COORDINATOR_ADDRESS); single-process runs skip initialization
+    entirely. Returns this process's index."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_index()
+
+
+def stack_scenarios_global(cfg: IntentMPCConfig, seeds,
+                           mesh: Mesh) -> Scenario:
+    """Multi-host scenario feed: each process generates only the seeds that
+    land on its local devices, and the shards are assembled into one global
+    sharded array (jax.make_array_from_process_local_data) — no host ever
+    materializes the full fleet. Single-process this equals
+    stack_scenarios + shard_scenarios."""
+    sh = NamedSharding(mesh, P("batch"))
+    n = len(seeds)
+    pi, pn = jax.process_index(), jax.process_count()
+    if n % pn:
+        raise ValueError(f"trial count {n} must divide process count {pn}")
+    per = n // pn
+    if per == 0:
+        raise ValueError("need at least one seed per process")
+    local = [generate_scenario(int(s), cfg.world)
+             for s in seeds[pi * per:(pi + 1) * per]]
+    local_stack = jax.tree.map(lambda *a: np.stack(a), *local)
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(
+            sh, np.asarray(a)), local_stack)
+
+
 def stack_scenarios(cfg: IntentMPCConfig, seeds) -> Scenario:
     """Host-side: generate and stack a batch of seeded scenarios."""
     scs = [generate_scenario(int(s), cfg.world) for s in seeds]

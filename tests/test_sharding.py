@@ -54,3 +54,24 @@ def test_psum_reduction_collects_fleet_stats(setup):
     summary = sh.aggregate_summary(agg)
     assert 0.0 <= summary["success_rate"] <= 1.0
     assert summary["num_episodes"] == 8
+
+
+def test_global_scenario_feed_matches_host_stack(setup):
+    """stack_scenarios_global (the multi-host per-process feed) must equal
+    stack_scenarios + shard_scenarios in the single-process case, and feed
+    batch_rollout identically."""
+    cfg, ref = setup
+    mesh = sh.make_mesh(8)
+    assert sh.init_distributed() == 0    # single-process no-op
+    g = sh.stack_scenarios_global(cfg, list(range(8)), mesh)
+    h = sh.shard_scenarios(sh.stack_scenarios(cfg, range(8)), mesh)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(h)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    tl = jnp.asarray(ref.shape[0])
+    _, agg = sh.batch_rollout(cfg, g, ref, tl, mesh=mesh,
+                              solver_iters=10, num_cycles=2)
+    assert agg["episodes"] == 8
+
+    # batch not divisible across the 8 mesh shards -> loud error
+    with pytest.raises(ValueError):
+        sh.stack_scenarios_global(cfg, list(range(7)), mesh)
