@@ -113,3 +113,20 @@ def test_repeat_path_re_tracks(setup):
     num_excursions = int((runs == 1).sum())
     assert num_excursions >= 2, p[:, 0].round(1)
     assert int(carry.repeats_left) == 1
+
+
+def test_solver_failure_holds_position(setup):
+    """Failure fallback (mpcNavigation.cpp:350-364 semantics): when no
+    solve is ever accepted (reference trajectory poisoned with NaN ->
+    every candidate rejected), the drone must hold its start position and
+    report zero successful solves — no NaN leaks into the plant state."""
+    cfg, sc, ref = setup
+    bad_ref = jnp.full_like(ref, jnp.nan)
+    carry, _ = run_episode(cfg, sc, bad_ref, jnp.asarray(ref.shape[0]),
+                           solver_iters=20)
+    s = summarize(cfg, carry)
+    assert s["mpc_solve_successes"] == 0
+    assert not s["goal_reached"]
+    pos = np.asarray(carry.pos)
+    assert np.isfinite(pos).all()
+    np.testing.assert_allclose(pos, np.asarray(cfg.start), atol=0.1)
