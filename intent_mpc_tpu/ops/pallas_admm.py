@@ -20,12 +20,22 @@ VMEM per candidate ~ A (m_pad x n_pad) + M + M^{-1}: fits for obstacle
 slot counts up to ~64 at horizon 30 (with a raised vmem limit); larger
 problems fall back to the XLA path.
 
-STATUS: EXPERIMENTAL. The kernel is validated against the XLA path in
-interpret mode (tests/test_pallas_admm.py) but the Mosaic-compiled version
-currently returns incorrect values on v5e hardware (suspected lowering
-issue around inf bounds / (n,1) dot shapes) and is NOT wired into the
-production solve path. The XLA path (ops/admm.py) is the production
-solver and already exceeds the >=1000 solves/s/chip target by >2x.
+STATUS: hardware-validated, NOT the production default. The kernel is
+checked against the XLA path in interpret mode (tests/test_pallas_admm.py)
+and on v5e hardware. The one hardware landmine (found by bisecting
+primitives on-chip): Mosaic lowers dots to bf16 MXU passes by default —
+`preferred_element_type=f32` only sets the accumulator — and the
+rho_eq=1e3 constraint rows amplify the ~1e-2 bf16 noise into divergence.
+Every dot in the kernel therefore carries precision=HIGHEST (3-pass f32
+emulation). Interpret mode runs true f32 on CPU, which is why it always
+agreed.
+
+Measured v5e perf at production scale (96 candidates, horizon 30, 100
+iters): 530 solves/s vs 2226 solves/s for the XLA path. The per-candidate
+grid makes every product a 1-column matvec (1/128 MXU lane utilization);
+the XLA path instead batches all candidates into (C, n) matmuls that fill
+the MXU, which beats VMEM residency by 4x. The XLA path (ops/admm.py)
+stays the production solver by measurement, not by default.
 """
 
 from __future__ import annotations
@@ -60,6 +70,12 @@ class DenseScaledProblem(NamedTuple):
 def _kernel(iters: int, sigma: float, alpha: float,
             minv, mmat, amat, q, x0, rho, lo, hi, x_out):
     f32 = jnp.float32
+    # CRITICAL: precision=HIGHEST. On TPU the MXU natively multiplies in
+    # bf16; without the 3-pass f32 emulation every matvec carries ~1e-2
+    # relative noise which the rho_eq=1e3 constraint rows amplify into
+    # divergence (this, not a lowering bug, was the "garbage on hardware" —
+    # interpret mode runs on CPU in true f32 and hid it).
+    PREC = jax.lax.Precision.HIGHEST
     Minv = minv[0]
     M = mmat[0]
     A = amat[0]
@@ -69,12 +85,12 @@ def _kernel(iters: int, sigma: float, alpha: float,
     U = hi[0]
 
     def a_mv(x):          # (n,1) -> (m,1)
-        return jnp.dot(A, x, preferred_element_type=f32)
+        return jnp.dot(A, x, precision=PREC, preferred_element_type=f32)
 
     def at_mv(w):         # (m,1) -> (n,1): A^T w without storing A^T
         return jax.lax.dot_general(
             A, w, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32)
+            precision=PREC, preferred_element_type=f32)
 
     x = x0[0]
     z = a_mv(x)
@@ -83,9 +99,10 @@ def _kernel(iters: int, sigma: float, alpha: float,
     def body(_, carry):
         x, z, y = carry
         rhs = sigma * x - qv + at_mv(R * z - y)
-        xt = jnp.dot(Minv, rhs, preferred_element_type=f32)
-        r = rhs - jnp.dot(M, xt, preferred_element_type=f32)
-        xt = xt + jnp.dot(Minv, r, preferred_element_type=f32)
+        xt = jnp.dot(Minv, rhs, precision=PREC, preferred_element_type=f32)
+        r = rhs - jnp.dot(M, xt, precision=PREC, preferred_element_type=f32)
+        xt = xt + jnp.dot(Minv, r, precision=PREC,
+                          preferred_element_type=f32)
         zt = a_mv(xt)
         x_n = alpha * xt + (1.0 - alpha) * x
         zr = alpha * zt + (1.0 - alpha) * z
