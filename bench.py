@@ -33,6 +33,9 @@ def main():
                     help="also measure per-cycle dispatch latency (p50/p99)")
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax profiler trace to this directory")
+    ap.add_argument("--per-candidate-factor", action="store_true",
+                    help="disable the shared-factor solve (factor every "
+                         "intent candidate separately, the pre-r1 default)")
     args = ap.parse_args()
 
     if args.platform:
@@ -48,6 +51,11 @@ def main():
     cfg = IntentMPCConfig()
     cfg = cfg.replace(world=dataclasses.replace(
         cfg.world, num_obstacles=args.obstacles))
+    if args.per_candidate_factor:
+        planner = dataclasses.replace(
+            cfg.planner, solver=dataclasses.replace(
+                cfg.planner.solver, shared_factor=False))
+        cfg = cfg.replace(planner=planner)
 
     ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)
     traj_len = jnp.asarray(ref.shape[0])

@@ -139,6 +139,9 @@ def main():  # pragma: no cover
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--out", type=str, default="benchmark_results")
     ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--per-candidate-factor", action="store_true",
+                    help="disable the shared-factor solve (factor every "
+                         "intent candidate separately)")
     args = ap.parse_args()
 
     if args.platform:
@@ -149,6 +152,10 @@ def main():  # pragma: no cover
         world=dataclasses.replace(cfg.world, num_obstacles=args.obstacles,
                                   dynamic_ratio=args.dynamic_ratio),
         engine=dataclasses.replace(cfg.engine, timeout=args.timeout))
+    if args.per_candidate_factor:
+        cfg = cfg.replace(planner=dataclasses.replace(
+            cfg.planner, solver=dataclasses.replace(
+                cfg.planner.solver, shared_factor=False)))
 
     t0 = time.time()
     rows = run_trials(cfg, range(args.seed0, args.seed0 + args.trials),

@@ -312,8 +312,22 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
                      jnp.zeros(cfg.num_vars))
     warm6 = jnp.broadcast_to(warm, (6,) + warm.shape)
 
-    res = jax.vmap(lambda q, x: admm_solve(cfg, q, x, max_iter,
-                                           rho_override=state.rho))(qps, warm6)
+    if cfg.solver.shared_factor:
+        # one factorization per scenario: factor the candidate-mean QP with
+        # union obstacle activity (over-regularized rows keep the shared
+        # Minv a contraction for every candidate), then refine each
+        # candidate against its own normal matrix in closed form
+        from intent_mpc_tpu.ops.admm import admm_factor
+        qp_mean = jax.tree.map(lambda a: jnp.mean(a, axis=0), qps)
+        qp_mean = qp_mean._replace(
+            obs_active=jnp.max(qps.obs_active, axis=0))
+        fac = admm_factor(cfg, qp_mean, rho_override=state.rho)
+        res = jax.vmap(lambda q, x: admm_solve(
+            cfg, q, x, max_iter, rho_override=state.rho,
+            factor=fac))(qps, warm6)
+    else:
+        res = jax.vmap(lambda q, x: admm_solve(
+            cfg, q, x, max_iter, rho_override=state.rho))(qps, warm6)
     states6 = jax.vmap(lambda x: qplib.split_z(x, cfg)[0])(res.x)  # (6,H,8)
     controls6 = jax.vmap(lambda x: qplib.split_z(x, cfg)[1])(res.x)
 

@@ -56,6 +56,22 @@ class Scaling(NamedTuple):
     c: jnp.ndarray          # scalar cost scaling
 
 
+class Factor(NamedTuple):
+    """Shared x-update preconditioner: the Ruiz scaling and explicit
+    inverse of ONE representative QP's normal matrix, reused across the 6
+    intent-candidate solves of a replan cycle (admm_factor /
+    admm_solve(factor=...)). The TPU motivation (RESULTS.md profile): the
+    ADMM iterations cost ~20 us each while the batched Cholesky dominates
+    the solve, so factoring once per scenario instead of once per
+    candidate removes most of the setup cost; per-candidate exactness is
+    restored by structured iterative refinement against the candidate's
+    own fresh normal matrix inside every x-update."""
+    D: jnp.ndarray
+    E: ConVec
+    c: jnp.ndarray
+    Minv: jnp.ndarray       # (n, n)
+
+
 def ruiz_equilibrate(cfg: PlannerConfig, qp: QPData, hdiag: jnp.ndarray,
                      iters: int) -> Scaling:
     """Ruiz equilibration of [P A^T; A 0] + OSQP cost scaling.
@@ -93,25 +109,57 @@ def ruiz_equilibrate(cfg: PlannerConfig, qp: QPData, hdiag: jnp.ndarray,
     return Scaling(D=D, E=E, c=c)
 
 
+def admm_factor(cfg: PlannerConfig, qp: QPData,
+                scfg: Optional[SolverConfig] = None,
+                rho_override=None) -> Factor:
+    """Scaling + explicit normal-matrix inverse of one (representative)
+    QP, for reuse across candidate solves via admm_solve(factor=...)."""
+    scfg = scfg or cfg.solver
+    hdiag = qplib.hessian_diag(cfg)
+    sc = ruiz_equilibrate(cfg, qp, hdiag, scfg.scaling_iters)
+    D, E, c = sc.D, sc.E, sc.c
+    h_s = c * D * D * hdiag
+    rho_base = scfg.rho if rho_override is None else rho_override
+    rho = qplib.rho_vec(cfg, qp, rho_base, scfg.rho_eq_scale)
+    rho_inner = rho.map(lambda r, e: r * e * e, E)
+    M = qplib.assemble_normal_matrix(cfg, qp, h_s, scfg.sigma, rho_inner,
+                                     col_scale=D)
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.eye(cfg.num_vars, dtype=M.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    Minv = jnp.matmul(Linv.T, Linv, precision=_PREC)
+    return Factor(D=D, E=E, c=c, Minv=Minv)
+
+
 def admm_solve(cfg: PlannerConfig, qp: QPData,
                x0: Optional[jnp.ndarray] = None,
                max_iter: Optional[int] = None,
                scfg: Optional[SolverConfig] = None,
                feas_tol: float = 5e-2,
-               rho_override=None) -> ADMMResult:
+               rho_override=None,
+               factor: Optional[Factor] = None) -> ADMMResult:
     """Solve one QP (vmap over a leading axis for batches).
 
     rho_override: scalar base penalty replacing scfg.rho — used for
     *temporal* rho adaptation: the closed loop carries the adapted rho of
     the previous replan cycle (the problems evolve slowly, so OSQP's
     adaptive-rho fixed point transfers), avoiding in-solve refactorization.
+
+    factor: a shared Factor from admm_factor (typically of the mean of the
+    candidate QPs). Skips this QP's Ruiz + assembly + Cholesky; the
+    factor's Minv acts as a preconditioner and `scfg.shared_refine_iters`
+    steps of iterative refinement against THIS QP's normal matrix (applied
+    in closed form — never assembled) restore per-candidate accuracy.
     """
     scfg = scfg or cfg.solver
     n = cfg.num_vars
     hdiag = qplib.hessian_diag(cfg)
 
-    sc = ruiz_equilibrate(cfg, qp, hdiag, scfg.scaling_iters)
-    D, E, c = sc.D, sc.E, sc.c
+    if factor is None:
+        sc = ruiz_equilibrate(cfg, qp, hdiag, scfg.scaling_iters)
+        D, E, c = sc.D, sc.E, sc.c
+    else:
+        D, E, c = factor.D, factor.E, factor.c
     h_s = c * D * D * hdiag
     q_s = c * D * qp.q
     l_s = qp.l.scale(E)
@@ -130,17 +178,36 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
         return D * qplib.at_matvec(cfg, qp, w.scale(E))
 
     rho_inner = rho.map(lambda r, e: r * e * e, E)
-    M = qplib.assemble_normal_matrix(cfg, qp, h_s, scfg.sigma, rho_inner,
-                                     col_scale=D)
-    L = jnp.linalg.cholesky(M)
-    eye = jnp.eye(n, dtype=M.dtype)
-    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    Minv = jnp.matmul(Linv.T, Linv, precision=_PREC)
+
+    def m_apply(v):
+        # THIS QP's scaled normal matrix in closed form: a_s/at_s each
+        # fold one E, so at_s(rho . a_s(v)) carries the rho E^2 inner
+        # weight without assembling M
+        return h_s * v + scfg.sigma * v + at_s(a_s(v).map(
+            lambda a, ri: a * ri, rho))
+
+    if factor is None:
+        M = qplib.assemble_normal_matrix(cfg, qp, h_s, scfg.sigma, rho_inner,
+                                         col_scale=D)
+        L = jnp.linalg.cholesky(M)
+        eye = jnp.eye(n, dtype=M.dtype)
+        Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        Minv = jnp.matmul(Linv.T, Linv, precision=_PREC)
+        refine = scfg.refine_iters
+
+        def m_residual(rhs, x):
+            return rhs - jnp.matmul(M, x, precision=_PREC)
+    else:
+        Minv = factor.Minv
+        refine = scfg.shared_refine_iters
+
+        def m_residual(rhs, x):
+            return rhs - m_apply(x)
 
     def msolve(rhs):
         x = jnp.matmul(Minv, rhs, precision=_PREC)
-        for _ in range(scfg.refine_iters):
-            r = rhs - jnp.matmul(M, x, precision=_PREC)
+        for _ in range(refine):
+            r = m_residual(rhs, x)
             x = x + jnp.matmul(Minv, r, precision=_PREC)
         return x
 

@@ -152,6 +152,23 @@ class SolverConfig:
                                       # tightest parity)
     eps_abs: float = 1e-3             # used only for residual reporting
     eps_rel: float = 1e-3
+    shared_factor: bool = True        # factor the x-update normal matrix
+                                      # ONCE per scenario (union-activity
+                                      # mean QP) instead of once per intent
+                                      # candidate; candidates refine
+                                      # against their own M in closed form.
+                                      # The on-chip profile (RESULTS.md) is
+                                      # setup-dominated, so this removes
+                                      # ~5/6 of the Cholesky cost: measured
+                                      # 3100 -> 4757 solves/s at batch 32
+                                      # with identical DYNUS quality
+    shared_refine_iters: int = 3      # refinement steps per x-update when
+                                      # solving with a shared factor.
+                                      # 3 keeps full DYNUS closed-loop
+                                      # quality (16/16 success; 2 steps
+                                      # showed 2/16 timeouts) and the
+                                      # refinement matvecs ride the cheap
+                                      # iteration path (RESULTS.md)
     temporal_rho: bool = False        # carry OSQP's adaptive-rho suggestion
                                       # across replan cycles. Off by default:
                                       # in the chronically-infeasible DYNUS

@@ -130,3 +130,23 @@ def test_solver_failure_holds_position(setup):
     pos = np.asarray(carry.pos)
     assert np.isfinite(pos).all()
     np.testing.assert_allclose(pos, np.asarray(cfg.start), atol=0.1)
+
+
+def test_shared_factor_episode_matches_baseline(setup):
+    """The shared-factor default (one factorization per scenario-cycle)
+    must fly the same scenario to the goal without collisions and land
+    within tolerance of the per-candidate-factorization trajectory
+    (cfg2 = the disabled variant)."""
+    cfg, sc, ref = setup
+    solver2 = dataclasses.replace(cfg.planner.solver, shared_factor=False)
+    cfg2 = cfg.replace(planner=dataclasses.replace(cfg.planner,
+                                                   solver=solver2))
+    c2, p2 = run_episode(cfg2, sc, ref, jnp.asarray(ref.shape[0]),
+                         solver_iters=60, record_path=True)
+    s2 = summarize(cfg2, c2)
+    assert s2["goal_reached"], s2
+    assert not s2["collision"], s2
+    c1, p1 = run_episode(cfg, sc, ref, jnp.asarray(ref.shape[0]),
+                         solver_iters=60, record_path=True)
+    d = np.abs(np.asarray(p1) - np.asarray(p2)).max()
+    assert d < 0.5, d   # same flight corridor, iterate-level differences

@@ -7,7 +7,7 @@ import pytest
 
 from intent_mpc_tpu.utils.config import PlannerConfig, SolverConfig
 from intent_mpc_tpu.ops import qp as qplib
-from intent_mpc_tpu.ops.admm import admm_solve
+from intent_mpc_tpu.ops.admm import admm_solve, admm_factor
 from intent_mpc_tpu.oracle import numpy_ref as oracle
 
 
@@ -187,3 +187,29 @@ def test_admm_detects_infeasible(cfg):
         jnp.asarray(lin))
     res = admm_solve(cfg, qp, max_iter=400)
     assert not bool(res.solved)
+
+
+def test_shared_factor_matches_per_candidate_solve():
+    """admm_solve(factor=...) with one mean-QP factorization + closed-form
+    refinement must track the per-candidate factorization path (the
+    shared-factor production mode; see RESULTS.md setup-dominated
+    profile)."""
+    cfg = PlannerConfig(horizon=30, max_obstacles=8)
+    qs = [_build_both(cfg, 8, 4, seed=s, with_static=True)[0]
+          for s in range(6)]
+    qps = jax.tree.map(lambda *a: jnp.stack(a), *qs)
+    qp_mean = jax.tree.map(lambda a: jnp.mean(a, axis=0), qps)
+    qp_mean = qp_mean._replace(obs_active=jnp.max(qps.obs_active, axis=0))
+    fac = admm_factor(cfg, qp_mean)
+    x0 = jnp.zeros((6, cfg.num_vars))
+    r_base = jax.vmap(lambda q, x: admm_solve(cfg, q, x, 100))(qps, x0)
+    r_shared = jax.vmap(lambda q, x: admm_solve(cfg, q, x, 100,
+                                                factor=fac))(qps, x0)
+    xb = np.asarray(r_base.x)
+    xs = np.asarray(r_shared.x)
+    H = cfg.horizon
+    assert np.isfinite(xs).all()
+    # positions within iterate noise of the unshared path
+    assert np.abs((xb - xs)[:, :8 * H]).max() < 0.05
+    assert np.asarray(r_shared.prim_res).max() < \
+        np.asarray(r_base.prim_res).max() + 0.05
