@@ -88,6 +88,8 @@ class EngineCarry(NamedTuple):
     stop_pos: jnp.ndarray
     repeats_left: jnp.ndarray    # int32 path repetitions remaining
     tracking_start: jnp.ndarray  # time the current tracking round began
+    yaw: jnp.ndarray             # heading (follows trajectory direction,
+                                 # trajExeCB :543-555; feeds FOV rows)
     done: jnp.ndarray            # monitor goal criterion met
     metrics: Metrics
 
@@ -108,6 +110,7 @@ def init_carry(cfg: IntentMPCConfig, scenario: Scenario) -> EngineCarry:
         stop_pos=start,
         repeats_left=jnp.asarray(cfg.engine.repeat_path, jnp.int32),
         tracking_start=jnp.zeros((), jnp.float32),
+        yaw=jnp.zeros((), jnp.float32),
         done=jnp.asarray(False),
         metrics=init_metrics())
 
@@ -146,7 +149,8 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
                                      size_h, hist_len, occ)
         plan_out = mpclib.make_plan_with_pred(
             cfg.planner, carry.planner, carry.pos, carry.vel, ref_traj,
-            traj_len, prediction, visible, solver_iters)
+            traj_len, prediction, visible, solver_iters,
+            curr_yaw=carry.yaw if ecfg.use_fov else None)
     else:
         # use_predictor=false: obstacles held constant over the horizon
         # (mpcNavigation.cpp:301-311 + updateDynamicObstacles)
@@ -192,6 +196,7 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
     ctrl = carry.controller
     prev_acc = carry.prev_target_acc
     has_prev = carry.has_prev_target
+    yaw = carry.yaw
     done = carry.done
 
     H = cfg.planner.horizon
@@ -271,6 +276,11 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         metrics = m
         prev_acc = jnp.where(active, ta, prev_acc)
         has_prev = has_prev | active
+        # yaw follows the trajectory heading (trajExeCB :543-555: target
+        # yaw = atan2 of the facing direction; held below the speed gate)
+        speed_xy = jnp.linalg.norm(tv[0:2])
+        yaw = jnp.where(active & (speed_xy > 0.1),
+                        jnp.arctan2(tv[1], tv[0]), yaw)
 
         # goal criterion (run_mpc_benchmark.py:268-276); with repeat_path
         # (loop-path demos, where goal == path start) the trial only
@@ -292,7 +302,7 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         traj_age=traj_age, traj_ready=traj_ready,
         prev_target_acc=prev_acc, has_prev_target=has_prev,
         stopping=stopping, stop_pos=stop_pos, repeats_left=repeats_left,
-        tracking_start=tracking_start, done=done, metrics=metrics)
+        tracking_start=tracking_start, yaw=yaw, done=done, metrics=metrics)
     return new_carry, pos
 
 

@@ -253,6 +253,13 @@ class EngineConfig:
     use_predictor: bool = True           # autonomous_flight/use_predictor:
                                          # False -> constant-obstacle MPC
                                          # (updateDynamicObstacles + makePlan)
+    use_fov: bool = False                # FOV half-space rows in the MPC
+                                         # (the reference's 3-argument
+                                         # updateCurrStates with the camera
+                                         # wedge; off in the DYNUS bench).
+                                         # The engine then carries a yaw
+                                         # state following the trajectory
+                                         # heading (trajExeCB :543-555)
     repeat_path: int = 1                 # execute_path_times: re-track the
                                          # reference path N times before the
                                          # goal stop (replanCheckCB :438-455)

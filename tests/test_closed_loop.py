@@ -150,3 +150,19 @@ def test_shared_factor_episode_matches_baseline(setup):
                          solver_iters=60, record_path=True)
     d = np.abs(np.asarray(p1) - np.asarray(p2)).max()
     assert d < 0.5, d   # same flight corridor, iterate-level differences
+
+
+def test_fov_mode_flies_with_heading_state(setup):
+    """use_fov=True: the engine carries a yaw state following the
+    trajectory heading and feeds the camera-wedge half-space rows; the
+    clear-corridor episode must still reach the goal (flying forward
+    keeps the wedge satisfied) with a forward-facing final heading."""
+    cfg, sc, ref = setup
+    cfg2 = cfg.replace(engine=dataclasses.replace(cfg.engine, use_fov=True))
+    carry, _ = run_episode(cfg2, sc, ref, jnp.asarray(ref.shape[0]),
+                           solver_iters=60)
+    s = summarize(cfg2, carry)
+    assert s["goal_reached"], s
+    assert not s["collision"], s
+    # heading locked onto the +x corridor direction while moving
+    assert abs(float(carry.yaw)) < 0.8, float(carry.yaw)
