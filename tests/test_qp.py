@@ -213,3 +213,18 @@ def test_shared_factor_matches_per_candidate_solve():
     assert np.abs((xb - xs)[:, :8 * H]).max() < 0.05
     assert np.asarray(r_shared.prim_res).max() < \
         np.asarray(r_base.prim_res).max() + 0.05
+
+
+@pytest.mark.parametrize("H,K", [(7, 3), (13, 1), (30, 17)])
+def test_odd_shapes_build_and_solve(H, K):
+    """Shape robustness: non-round horizons and obstacle-slot counts must
+    assemble and solve without shape errors (everything is closed-form
+    structured, nothing assumes multiples of 8/128 outside pallas)."""
+    cfg = PlannerConfig(horizon=H, max_obstacles=K,
+                        solver=SolverConfig(max_iter=30))
+    qp, _, _ = _build_both(cfg, K, min(K, 2))
+    res = admm_solve(cfg, qp)
+    x = np.asarray(res.x)
+    assert x.shape == (cfg.num_vars,)
+    assert np.isfinite(x).all()
+    assert np.isfinite(float(res.prim_res))
