@@ -212,7 +212,7 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
         return x
 
     if x0 is None:
-        x0 = jnp.zeros(n, M.dtype)
+        x0 = jnp.zeros(n, Minv.dtype)
     xs0 = x0 / D                 # to scaled space
     z0 = a_s(xs0)
     y0 = ConVec(*(jnp.zeros_like(a) for a in z0))
