@@ -204,12 +204,30 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
         def m_residual(rhs, x):
             return rhs - m_apply(x)
 
-    def msolve(rhs):
-        x = jnp.matmul(Minv, rhs, precision=_PREC)
-        for _ in range(refine):
-            r = m_residual(rhs, x)
-            x = x + jnp.matmul(Minv, r, precision=_PREC)
-        return x
+    def make_step(refine_k: int):
+        def msolve(rhs):
+            x = jnp.matmul(Minv, rhs, precision=_PREC)
+            for _ in range(refine_k):
+                r = m_residual(rhs, x)
+                x = x + jnp.matmul(Minv, r, precision=_PREC)
+            return x
+
+        def step(carry, _):
+            x, z, y = carry
+            rz_y = z.map(lambda zi, ri, yi: ri * zi - yi, rho, y)
+            rhs = sigma * x - q_s + at_s(rz_y)
+            x_t = msolve(rhs)
+            z_t = a_s(x_t)
+            x_n = alpha * x_t + (1.0 - alpha) * x
+            z_relax = z_t.map(lambda zt, zi: alpha * zt + (1.0 - alpha) * zi,
+                              z)
+            z_n = z_relax.map(
+                lambda zr, yi, ri, li, ui: jnp.clip(zr + yi / ri, li, ui),
+                y, rho, l_s, u_s)
+            y_n = y.map(lambda yi, zr, zn, ri: yi + ri * (zr - zn),
+                        z_relax, z_n, rho)
+            return (x_n, z_n, y_n), None
+        return step
 
     if x0 is None:
         x0 = jnp.zeros(n, Minv.dtype)
@@ -220,21 +238,18 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
     sigma, alpha = scfg.sigma, scfg.alpha
     iters = max_iter if max_iter is not None else scfg.max_iter
 
-    def step(carry, _):
-        x, z, y = carry
-        rz_y = z.map(lambda zi, ri, yi: ri * zi - yi, rho, y)
-        rhs = sigma * x - q_s + at_s(rz_y)
-        x_t = msolve(rhs)
-        z_t = a_s(x_t)
-        x_n = alpha * x_t + (1.0 - alpha) * x
-        z_relax = z_t.map(lambda zt, zi: alpha * zt + (1.0 - alpha) * zi, z)
-        z_n = z_relax.map(
-            lambda zr, yi, ri, li, ui: jnp.clip(zr + yi / ri, li, ui),
-            y, rho, l_s, u_s)
-        y_n = y.map(lambda yi, zr, zn, ri: yi + ri * (zr - zn), z_relax, z_n, rho)
-        return (x_n, z_n, y_n), None
-
-    (xs, zs, ys), _ = jax.lax.scan(step, (xs0, z0, y0), None, length=iters)
+    # optional two-phase refinement with a shared factor: cheap x-updates
+    # while the compromise iterate is far from settled, full refinement
+    # for the tail that shapes the executed trajectory
+    warm = int(iters * scfg.shared_refine_warm_frac) \
+        if factor is not None else 0
+    carry = (xs0, z0, y0)
+    if warm > 0:
+        carry, _ = jax.lax.scan(make_step(scfg.shared_refine_warm), carry,
+                                None, length=warm)
+    carry, _ = jax.lax.scan(make_step(refine), carry, None,
+                            length=iters - warm)
+    (xs, zs, ys) = carry
 
     # unscale
     x = D * xs

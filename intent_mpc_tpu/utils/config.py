@@ -162,6 +162,11 @@ class SolverConfig:
                                       # ~5/6 of the Cholesky cost: measured
                                       # 3100 -> 4757 solves/s at batch 32
                                       # with identical DYNUS quality
+    shared_refine_warm_frac: float = 0.0  # fraction of the iteration budget
+                                      # run with shared_refine_warm
+                                      # refinement steps before switching
+                                      # to shared_refine_iters (0 = uniform)
+    shared_refine_warm: int = 1       # cheap-phase refinement count
     shared_refine_iters: int = 3      # refinement steps per x-update when
                                       # solving with a shared factor.
                                       # 3 keeps full DYNUS closed-loop
