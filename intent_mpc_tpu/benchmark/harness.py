@@ -36,6 +36,61 @@ def run_trials(cfg: IntentMPCConfig, seeds: Sequence[int],
     metrics, _ = sh.batch_rollout(cfg, scenarios, ref, traj_len, mesh=mesh,
                                   solver_iters=solver_iters,
                                   num_cycles=num_cycles)
+    return _rows_from_metrics(cfg, seeds, metrics)
+
+
+def run_trials_checkpointed(cfg: IntentMPCConfig, seeds: Sequence[int],
+                            checkpoint_path: str, chunk_cycles: int = 50,
+                            solver_iters: Optional[int] = None) -> List[dict]:
+    """run_trials with periodic fleet checkpointing (engine/checkpoint.py):
+    the whole batched carry snapshots every `chunk_cycles` MPC cycles, and
+    a pre-existing checkpoint at `checkpoint_path` resumes bit-exactly
+    (the engine is a deterministic scan). Survives preemption mid-run."""
+    from intent_mpc_tpu.engine import checkpoint as ckpt
+    from intent_mpc_tpu.engine import closed_loop as cl
+    from intent_mpc_tpu.models.occupancy import empty_grid
+
+    ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)
+    traj_len = jnp.asarray(ref.shape[0])
+    cycle_dt = cfg.engine.control_dt * cfg.engine.ticks_per_cycle
+    total = int(round(cfg.engine.timeout / cycle_dt))
+    occ = empty_grid()
+
+    if os.path.exists(checkpoint_path):
+        carry, start, seeds_saved, scenarios = ckpt.load_checkpoint(
+            checkpoint_path, cfg)
+        if list(seeds_saved) != list(seeds):
+            raise ValueError("checkpoint seeds differ from requested seeds")
+    else:
+        scenarios = sh.stack_scenarios(cfg, seeds)
+        carry = jax.vmap(lambda s: cl.init_carry(cfg, s))(scenarios)
+        start = 0
+
+    @jax.jit
+    def run_chunk(carry, start_idx, n_arr):
+        def step(c, i):
+            active = i < start_idx + n_arr
+            c2, _ = jax.vmap(lambda cc, s: cl.episode_step(
+                cfg, s, ref, traj_len, occ, cc, i,
+                solver_iters=solver_iters))(c, scenarios)
+            return jax.tree.map(
+                lambda new, old: jnp.where(active, new, old), c2, c), None
+        c, _ = jax.lax.scan(step, carry,
+                            start_idx + jnp.arange(chunk_cycles))
+        return c
+
+    while start < total:
+        n = min(chunk_cycles, total - start)
+        carry = run_chunk(carry, jnp.asarray(start, jnp.int32),
+                          jnp.asarray(n, jnp.int32))
+        jax.block_until_ready(carry)
+        start += n
+        ckpt.save_checkpoint(checkpoint_path, carry, start, seeds)
+    return _rows_from_metrics(cfg, seeds, carry.metrics)
+
+
+def _rows_from_metrics(cfg: IntentMPCConfig, seeds: Sequence[int],
+                       metrics) -> List[dict]:
     rows = []
     m = jax.tree.map(np.asarray, metrics)
     straight = float(np.linalg.norm(np.asarray(cfg.goal) - np.asarray(cfg.start)))
@@ -142,6 +197,11 @@ def main():  # pragma: no cover
     ap.add_argument("--per-candidate-factor", action="store_true",
                     help="disable the shared-factor solve (factor every "
                          "intent candidate separately)")
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="fleet checkpoint .npz: snapshot every "
+                         "--chunk-cycles MPC cycles; an existing file "
+                         "resumes bit-exactly after preemption")
+    ap.add_argument("--chunk-cycles", type=int, default=100)
     args = ap.parse_args()
 
     if args.platform:
@@ -158,8 +218,13 @@ def main():  # pragma: no cover
                 cfg.planner.solver, shared_factor=False)))
 
     t0 = time.time()
-    rows = run_trials(cfg, range(args.seed0, args.seed0 + args.trials),
-                      solver_iters=args.iters)
+    seeds = range(args.seed0, args.seed0 + args.trials)
+    if args.checkpoint:
+        rows = run_trials_checkpointed(cfg, list(seeds), args.checkpoint,
+                                       chunk_cycles=args.chunk_cycles,
+                                       solver_iters=args.iters)
+    else:
+        rows = run_trials(cfg, seeds, solver_iters=args.iters)
     elapsed = time.time() - t0
     agg = aggregate(rows)
     agg["wall_time_s"] = elapsed
