@@ -41,6 +41,9 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from intent_mpc_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import dataclasses
     from intent_mpc_tpu.utils.config import IntentMPCConfig
     from intent_mpc_tpu.models.world import straight_line_ref_traj

@@ -56,6 +56,10 @@ def run_trials_checkpointed(cfg: IntentMPCConfig, seeds: Sequence[int],
     total = int(round(cfg.engine.timeout / cycle_dt))
     occ = empty_grid()
 
+    # np.savez appends .npz; normalize so the resume check sees the same
+    # file the save wrote
+    if not checkpoint_path.endswith(".npz"):
+        checkpoint_path = checkpoint_path + ".npz"
     if os.path.exists(checkpoint_path):
         carry, start, seeds_saved, scenarios = ckpt.load_checkpoint(
             checkpoint_path, cfg)
@@ -206,6 +210,9 @@ def main():  # pragma: no cover
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    from intent_mpc_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     cfg = IntentMPCConfig()
     cfg = cfg.replace(

@@ -16,6 +16,7 @@ fields match; a field mismatch raises instead of mis-zipping leaves.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -29,13 +30,22 @@ from intent_mpc_tpu.utils.config import IntentMPCConfig
 
 def save_checkpoint(path: str, carry: cl.EngineCarry, cycle_idx: int,
                     seeds: Sequence[int]) -> None:
-    """Snapshot a (possibly batched) EngineCarry + progress to .npz."""
+    """Snapshot a (possibly batched) EngineCarry + progress to .npz.
+
+    The write is atomic (temp file + os.replace) so preemption mid-write —
+    the very event checkpointing exists to survive — cannot truncate the
+    previous good checkpoint."""
     leaves, treedef = jax.tree.flatten(carry)
     arrs = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     arrs["num_leaves"] = np.asarray(len(leaves))
     arrs["cycle_idx"] = np.asarray(int(cycle_idx))
     arrs["seeds"] = np.asarray(list(seeds), np.int64)
-    np.savez(path, **arrs)
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrs)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, cfg: IntentMPCConfig
@@ -44,6 +54,8 @@ def load_checkpoint(path: str, cfg: IntentMPCConfig
 
     Scenarios are regenerated from the stored seeds (bit-exact MT19937
     world gen), so the checkpoint stays small."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     with np.load(path) as z:
         n = int(z["num_leaves"])
         leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]

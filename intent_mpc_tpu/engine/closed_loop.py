@@ -236,7 +236,8 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
 
         # ---- world state at this tick ----
         obs_pos_t, _ = obstacle_state(scenario, tk + ecfg.control_dt)
-        if k == 3 or k == 6:   # ~30 Hz history pushes
+        # ~30 Hz history pushes; tick 0's push is the cycle-start push above
+        if k in ecfg.hist_ticks and k != 0:
             d2 = det.fd_update(cfg.detector, d, obs_pos_t, tk + ecfg.control_dt)
             d = det.hist_push(d2, obs_pos_t)
 

@@ -343,7 +343,10 @@ def admm_solve_pallas(cfg: PlannerConfig, qps: QPData, x0: jnp.ndarray,
                       interpret: bool = False) -> ADMMResult:
     """Batched solve with the fused Pallas iteration kernel. qps/x0 carry a
     leading candidate axis. Problems whose dense A exceeds the VMEM budget
-    should use the XLA path instead (admm_solve_batch)."""
+    should use the XLA path instead (admm_solve_batch).
+
+    Dual outputs are unavailable on this path: the returned ADMMResult has
+    y and dual_res set to NaN (primal x / prim_res / solved are real)."""
     import intent_mpc_tpu.ops.pallas_admm as pk
 
     scfg = scfg or cfg.solver
@@ -369,9 +372,12 @@ def admm_solve_pallas(cfg: PlannerConfig, qps: QPData, x0: jnp.ndarray,
         return (ax - z).inf_norm()
 
     prim = jax.vmap(residuals)(qps, x)
-    y0 = jax.vmap(lambda q, xi: ConVec(*(jnp.zeros_like(a) for a in
-                                         qplib.a_matvec(cfg, q, xi))))(qps, x)
-    return ADMMResult(x=x, y=y0, prim_res=prim,
-                      dual_res=jnp.zeros_like(prim),
+    # The kernel does not return duals: mark y and dual_res NaN so a caller
+    # comparing dual fields against the XLA path fails loudly instead of
+    # silently reading zeros.
+    y_nan = jax.vmap(lambda q, xi: ConVec(*(jnp.full_like(a, jnp.nan) for a in
+                                            qplib.a_matvec(cfg, q, xi))))(qps, x)
+    return ADMMResult(x=x, y=y_nan, prim_res=prim,
+                      dual_res=jnp.full_like(prim, jnp.nan),
                       solved=prim < feas_tol,
                       rho_suggest=jnp.full_like(prim, scfg.rho))
