@@ -122,13 +122,23 @@ def admm_factor(cfg: PlannerConfig, qp: QPData,
     rho_base = scfg.rho if rho_override is None else rho_override
     rho = qplib.rho_vec(cfg, qp, rho_base, scfg.rho_eq_scale)
     rho_inner = rho.map(lambda r, e: r * e * e, E)
+    Minv = _explicit_minv(cfg, qp, h_s, scfg, rho_inner, D)
+    return Factor(D=D, E=E, c=c, Minv=Minv)
+
+
+def _explicit_minv(cfg: PlannerConfig, qp: QPData, h_s, scfg: SolverConfig,
+                   rho_inner: ConVec, D) -> jnp.ndarray:
+    """Explicit inverse of the scaled x-update normal matrix, via the
+    block-tridiagonal factorization (default) or the dense Cholesky."""
+    if scfg.structured_factor:
+        from intent_mpc_tpu.ops.block_chol import structured_minv
+        return structured_minv(cfg, qp, h_s, scfg.sigma, rho_inner, D)
     M = qplib.assemble_normal_matrix(cfg, qp, h_s, scfg.sigma, rho_inner,
                                      col_scale=D)
     L = jnp.linalg.cholesky(M)
     eye = jnp.eye(cfg.num_vars, dtype=M.dtype)
     Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    Minv = jnp.matmul(Linv.T, Linv, precision=_PREC)
-    return Factor(D=D, E=E, c=c, Minv=Minv)
+    return jnp.matmul(Linv.T, Linv, precision=_PREC)
 
 
 def admm_solve(cfg: PlannerConfig, qp: QPData,
@@ -187,16 +197,13 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
             lambda a, ri: a * ri, rho))
 
     if factor is None:
-        M = qplib.assemble_normal_matrix(cfg, qp, h_s, scfg.sigma, rho_inner,
-                                         col_scale=D)
-        L = jnp.linalg.cholesky(M)
-        eye = jnp.eye(n, dtype=M.dtype)
-        Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-        Minv = jnp.matmul(Linv.T, Linv, precision=_PREC)
+        Minv = _explicit_minv(cfg, qp, h_s, scfg, rho_inner, D)
         refine = scfg.refine_iters
 
         def m_residual(rhs, x):
-            return rhs - jnp.matmul(M, x, precision=_PREC)
+            # closed-form M @ x (this QP's own normal matrix, never
+            # assembled densely)
+            return rhs - m_apply(x)
     else:
         Minv = factor.Minv
         refine = scfg.shared_refine_iters
@@ -306,10 +313,9 @@ def _dense_scaled_problem(cfg: PlannerConfig, qp: QPData, x0,
     rho_inner = rho.map(lambda r, e: r * e * e, E)
     M = qplib.assemble_normal_matrix(cfg, qp, h_s, scfg.sigma, rho_inner,
                                      col_scale=D)
-    L = jnp.linalg.cholesky(M)
-    eye = jnp.eye(n, dtype=M.dtype)
-    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    Minv = jnp.matmul(Linv.T, Linv, precision=_PREC)
+    # same Minv construction as the XLA path (structured block-tridiagonal
+    # factorization by default) so both paths share iterate trajectories
+    Minv = _explicit_minv(cfg, qp, h_s, scfg, rho_inner, D)
 
     A = qplib.dense_a_matrix(cfg, qp)                # (m, n) unscaled
     e_flat = qplib.con_to_flat(E)
@@ -362,6 +368,7 @@ def admm_solve_pallas(cfg: PlannerConfig, qps: QPData, x0: jnp.ndarray,
         lambda q, x: _dense_scaled_problem(cfg, q, x, scfg, n_pad, m_pad)
     )(qps, x0)
     xs = pk.admm_iterations_dense(sp, iters, scfg.sigma, scfg.alpha,
+                                  refine=scfg.refine_iters,
                                   interpret=interpret)
     D, E, c = scales
     x = D * xs[:, :n]

@@ -67,7 +67,7 @@ class DenseScaledProblem(NamedTuple):
     hi: jnp.ndarray     # (C, m_pad, 1)
 
 
-def _kernel(iters: int, sigma: float, alpha: float,
+def _kernel(iters: int, sigma: float, alpha: float, refine: int,
             minv, mmat, amat, q, x0, rho, lo, hi, x_out):
     f32 = jnp.float32
     # CRITICAL: precision=HIGHEST. On TPU the MXU natively multiplies in
@@ -100,9 +100,11 @@ def _kernel(iters: int, sigma: float, alpha: float,
         x, z, y = carry
         rhs = sigma * x - qv + at_mv(R * z - y)
         xt = jnp.dot(Minv, rhs, precision=PREC, preferred_element_type=f32)
-        r = rhs - jnp.dot(M, xt, precision=PREC, preferred_element_type=f32)
-        xt = xt + jnp.dot(Minv, r, precision=PREC,
-                          preferred_element_type=f32)
+        for _ in range(refine):
+            r = rhs - jnp.dot(M, xt, precision=PREC,
+                              preferred_element_type=f32)
+            xt = xt + jnp.dot(Minv, r, precision=PREC,
+                              preferred_element_type=f32)
         zt = a_mv(xt)
         x_n = alpha * xt + (1.0 - alpha) * x
         zr = alpha * zt + (1.0 - alpha) * z
@@ -115,8 +117,8 @@ def _kernel(iters: int, sigma: float, alpha: float,
 
 
 def admm_iterations_dense(sp: DenseScaledProblem, iters: int, sigma: float,
-                          alpha: float, interpret: bool = False
-                          ) -> jnp.ndarray:
+                          alpha: float, refine: int = 1,
+                          interpret: bool = False) -> jnp.ndarray:
     """Run the fused loop for all candidates; returns scaled x (C, n_pad)."""
     C, n_pad, _ = sp.minv.shape
     m_pad = sp.amat.shape[1]
@@ -128,7 +130,7 @@ def admm_iterations_dense(sp: DenseScaledProblem, iters: int, sigma: float,
         return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * len(shape),
                             **kwargs)
 
-    kern = functools.partial(_kernel, iters, sigma, alpha)
+    kern = functools.partial(_kernel, iters, sigma, alpha, refine)
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         # the double-buffered blocks exceed the 16 MB default scoped-vmem

@@ -152,6 +152,13 @@ class SolverConfig:
                                       # tightest parity)
     eps_abs: float = 1e-3             # used only for residual reporting
     eps_rel: float = 1e-3
+    structured_factor: bool = True    # factor the x-update normal matrix
+                                      # via its block-tridiagonal horizon
+                                      # structure (ops/block_chol.py)
+                                      # instead of a dense (n,n) Cholesky +
+                                      # triangular solves — the dense
+                                      # factorization was the measured
+                                      # on-chip setup hotspot (RESULTS.md)
     shared_factor: bool = True        # factor the x-update normal matrix
                                       # ONCE per scenario (union-activity
                                       # mean QP) instead of once per intent

@@ -65,9 +65,30 @@ def test_checkpoint_rejects_mismatched_config(tmp_path):
         ckpt.load_checkpoint(path, cfg2)
 
 
+def _rows_equal(a_rows, b_rows, rtol=1e-5):
+    """Row equality with exact ints/bools and ulp-tolerant floats.
+
+    run_trials (sharded batch_rollout) and run_trials_checkpointed (chunked
+    scan) are *different compiled programs*: XLA may fuse the pure-XLA
+    structured factorization differently in each, so float statistics can
+    differ in the last bits across programs. Bit-exactness is guaranteed
+    only for resume within the checkpointed program
+    (test_checkpoint_resume_bit_exact)."""
+    assert len(a_rows) == len(b_rows)
+    for ra, rb in zip(a_rows, b_rows):
+        assert ra.keys() == rb.keys()
+        for k in ra:
+            if isinstance(ra[k], float):
+                np.testing.assert_allclose(ra[k], rb[k], rtol=rtol,
+                                           err_msg=f"field {k}")
+            else:
+                assert ra[k] == rb[k], f"field {k}: {ra[k]} != {rb[k]}"
+
+
 def test_harness_checkpointed_matches_plain(tmp_path):
-    """run_trials_checkpointed == run_trials rows, and a half-run
-    checkpoint resumes to the same result."""
+    """run_trials_checkpointed == run_trials rows (exact ints/bools,
+    ulp-tolerant floats), and a half-run checkpoint resumes to the
+    bit-identical result of the uninterrupted checkpointed run."""
     from intent_mpc_tpu.benchmark import harness as H
     cfg = small_config(num_obstacles=6, horizon=10, timeout=1.5,
                        max_obstacles=6, hist=12)
@@ -77,10 +98,11 @@ def test_harness_checkpointed_matches_plain(tmp_path):
     p1 = str(tmp_path / "a.npz")
     ck = H.run_trials_checkpointed(cfg, seeds, p1, chunk_cycles=6,
                                    solver_iters=30)
-    assert ck == plain
+    _rows_equal(ck, plain)
 
     # simulate preemption: run only the first chunk by timeout-limited cfg,
-    # then resume with the full timeout against the same checkpoint file
+    # then resume with the full timeout against the same checkpoint file.
+    # Same program as `ck` -> bit-exact row equality.
     import dataclasses
     p2 = str(tmp_path / "b.npz")
     cfg_short = cfg.replace(engine=dataclasses.replace(cfg.engine,
@@ -89,4 +111,4 @@ def test_harness_checkpointed_matches_plain(tmp_path):
                               solver_iters=30)
     resumed = H.run_trials_checkpointed(cfg, seeds, p2, chunk_cycles=6,
                                         solver_iters=30)
-    assert resumed == plain
+    assert resumed == ck

@@ -13,8 +13,19 @@ import tests.test_qp as tq
 
 @pytest.fixture(scope="module")
 def cfg():
+    # structured_factor=False + refine_iters=0: this test checks the
+    # *iteration loop* equivalence, so the setup must be held
+    # bitwise-identical across the two paths. The dense Cholesky is a
+    # LAPACK custom call (same bits in any compilation context); the
+    # structured factorization is fusible XLA ops whose last-bit rounding
+    # varies with the surrounding program. Likewise refine_iters=0 (the
+    # production default): the XLA path refines against the closed-form
+    # m_apply while the kernel refines against the dense M — same math,
+    # different rounding, and cond(M)~1e5 amplifies those ulps past any
+    # useful tolerance over 150 iterations.
     return PlannerConfig(horizon=10, max_obstacles=4,
-                         solver=SolverConfig(max_iter=150, refine_iters=1))
+                         solver=SolverConfig(max_iter=150, refine_iters=0,
+                                             structured_factor=False))
 
 
 def test_pallas_matches_xla_path(cfg):
