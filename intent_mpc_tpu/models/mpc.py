@@ -346,8 +346,22 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
     best = evaluate_candidates(cfg, consistency, detour, safety, w6, accepted)
 
     valid = jnp.any(accepted)
-    new_states = jnp.where(valid, states6[best], state.states_sol)
-    new_controls = jnp.where(valid, controls6[best], state.controls_sol)
+    x_best = res.x[best]
+    if cfg.solver.polish:
+        # OSQP polish semantics on the CHOSEN candidate only
+        # (mpcPlanner.cpp executes only the winner): exact active-set KKT
+        # solve with compensated residuals (ops/polish.py). The gate
+        # rejects (returns the raw iterate) when the active set is
+        # untrustworthy — in particular on the chronically-infeasible
+        # DYNUS QPs — so this is off by default for the benchmark
+        # throughput config and on for parity / feasible regimes.
+        from intent_mpc_tpu.ops.polish import polish as _polish
+        qp_best = jax.tree.map(lambda a: a[best], qps)
+        y_best = jax.tree.map(lambda a: a[best], res.y)
+        x_best = _polish(cfg, qp_best, x_best, y_best).x
+    Xb, Ub = qplib.split_z(x_best, cfg)
+    new_states = jnp.where(valid, Xb, state.states_sol)
+    new_controls = jnp.where(valid, Ub, state.controls_sol)
 
     new_state = PlannerState(
         states_sol=new_states,

@@ -187,6 +187,27 @@ class SolverConfig:
                                       # regime the adaptation destabilizes
                                       # the compromise iterates (measured
                                       # collision-rate regression)
+    # --- OSQP-style active-set polish (ops/polish.py) ---
+    polish: bool = False              # polish the CHOSEN candidate's
+                                      # solution each replan (engine path);
+                                      # the standalone parity tests call
+                                      # ops.polish.polish directly
+    polish_reg: float = 3e-6          # ridge on the Jacobi-scaled
+                                      # condensed Schur complement (the
+                                      # f32 analogue of OSQP's polish
+                                      # `delta`; compensated defect
+                                      # correction removes its bias)
+    polish_iters: int = 12            # compensated defect-correction steps
+    polish_rounds: int = 2            # primal-dual active-set passes:
+                                      # round k>1 re-detects from round
+                                      # k-1's exact KKT point and duals
+                                      # (violated rows pin, wrong-sign
+                                      # duals drop)
+    polish_tol: float = 1e-5          # bound-proximity tie-break for rows
+                                      # whose slack AND dual are both ~0
+                                      # (the decisive criterion is OSQP's
+                                      # slack-vs-dual comparison)
+    polish_accept_tol: float = 1e-4   # feasibility gate on inactive rows
 
 
 @dataclass(frozen=True)

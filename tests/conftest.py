@@ -61,6 +61,8 @@ _SLOW_TESTS = {
     "test_solver_failure_holds_position",
     "test_nonpredictor_engine_mode",
     "test_plan_next_view_targets_frontier",
+    "test_polish_matches_oracle",
+    "test_episode_with_polish",
 }
 
 

@@ -166,3 +166,24 @@ def test_fov_mode_flies_with_heading_state(setup):
     assert not s["collision"], s
     # heading locked onto the +x corridor direction while moving
     assert abs(float(carry.yaw)) < 0.8, float(carry.yaw)
+
+
+def test_episode_with_polish(setup):
+    """Engine wiring of the chosen-candidate polish (solver.polish=True):
+    the episode still reaches the goal with no collision, and the
+    executed trajectory stays close to the unpolished run on a clear
+    path (polish refines the same optimum; it must not change behavior)."""
+    cfg, sc, ref = setup
+    pcfg = dataclasses.replace(
+        cfg.planner, solver=dataclasses.replace(cfg.planner.solver,
+                                                polish=True))
+    cfg_p = cfg.replace(planner=pcfg)
+    carry, _ = run_episode(cfg_p, sc, ref, jnp.asarray(ref.shape[0]),
+                           solver_iters=60)
+    s = summarize(cfg_p, carry)
+    assert s["goal_reached"], s
+    assert not s["collision"], s
+    carry0, _ = run_episode(cfg, sc, ref, jnp.asarray(ref.shape[0]),
+                            solver_iters=60)
+    s0 = summarize(cfg, carry0)
+    assert abs(s["path_length"] - s0["path_length"]) < 0.2, (s, s0)

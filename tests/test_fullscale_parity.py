@@ -10,14 +10,24 @@ from intent_mpc_tpu.utils.config import PlannerConfig, SolverConfig
 from intent_mpc_tpu.ops import qp as qplib
 from intent_mpc_tpu.ops.admm import admm_solve
 from intent_mpc_tpu.oracle import native, numpy_ref
+from intent_mpc_tpu.ops import polish as polish_lib
 from intent_mpc_tpu.models import mpc as mpclib
 from intent_mpc_tpu.models.predictor import Prediction
 import tests.test_qp as tq
 
 
 def test_horizon30_qp_matches_native_oracle():
-    """The real benchmark QP size (385 vars, 30-step horizon, obstacle
-    rows) solved by the f32 runtime path vs the C++ f64 oracle."""
+    """North-star control parity at full benchmark scale: the f32
+    runtime pipeline (ADMM + compensated active-set polish, ops/polish.py
+    — all TPU-runnable f32; no f64 anywhere) vs the polished f64 oracle,
+    within 1e-3 positions / 1e-1 accelerations (BASELINE.md).
+
+    2000 ADMM iterations is the convergence-mode budget, mirroring the
+    reference's OSQP-at-convergence-then-polish semantics
+    (OsqpEigen/Solver.hpp polish; default 4000-iteration cap). The
+    real-time production budget (100 iterations, warm-started) is the
+    time-limit analogue of mpcPlanner.cpp:442-444 and is covered by the
+    closed-loop tests instead."""
     cfg = PlannerConfig(horizon=30, max_obstacles=8,
                         solver=SolverConfig(max_iter=2000, refine_iters=1))
     qp, (P, q, A, l, u), _ = tq._build_both(cfg, 8, 4, with_static=True)
@@ -29,18 +39,24 @@ def test_horizon30_qp_matches_native_oracle():
     viol = max(np.clip(l - zc, 0, None).max(), np.clip(zc - u, 0, None).max())
     assert viol < 1e-5, f"oracle solution violates constraints ({viol})"
     res = admm_solve(cfg, qp)
-    x = np.asarray(res.x, np.float64)
+    pr = polish_lib.polish(cfg, qp, res.x, res.y)
+    assert bool(pr.accepted), "polish rejected at convergence-mode budget"
     H, W = cfg.horizon, cfg.mpc_window
-    pos = x[:8 * H].reshape(H, 8)[:, :3]
-    pos_ref = x_c[:8 * H].reshape(H, 8)[:, :3]
-    acc = x[8 * H:].reshape(W, 5)[:, :3]
-    acc_ref = x_c[8 * H:].reshape(W, 5)[:, :3]
-    assert np.abs(pos - pos_ref).max() < 2e-2
-    # accelerations are the most active-set-sensitive quantities and the
-    # velocity weight is 0 (near-flat directions): f32-vs-polished-f64
-    # differences of ~1 m/s^2 (5% of the 20 limit) occur at constraint
-    # switches while positions agree to 2e-2
-    assert np.abs(acc - acc_ref).max() < 1.5
+
+    def errs(xv):
+        xv = np.asarray(xv, np.float64)
+        pos = xv[:8 * H].reshape(H, 8)[:, :3] - x_c[:8 * H].reshape(H, 8)[:, :3]
+        acc = xv[8 * H:].reshape(W, 5)[:, :3] - x_c[8 * H:].reshape(W, 5)[:, :3]
+        return np.abs(pos).max(), np.abs(acc).max()
+
+    pos_err, acc_err = errs(pr.x)
+    # measured: ~5e-6 positions / ~1e-3 accelerations; asserted at the
+    # north-star bounds
+    assert pos_err < 1e-3, f"polished position parity {pos_err:.2e}"
+    assert acc_err < 1e-1, f"polished acceleration parity {acc_err:.2e}"
+    # the unpolished ADMM iterate stays within the old documented floor
+    pos_raw, acc_raw = errs(res.x)
+    assert pos_raw < 2e-2 and acc_raw < 1.5
 
 
 def _ref_candidates(pred_pos, pred_size, probs, closest, visible):
