@@ -196,6 +196,8 @@ def main():  # pragma: no cover
     ap.add_argument("--dynamic-ratio", type=float, default=0.65)
     ap.add_argument("--timeout", type=float, default=100.0)
     ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--max-obstacles", type=int, default=None,
+                    help="QP obstacle-slot count (default: config, 64)")
     ap.add_argument("--out", type=str, default="benchmark_results")
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--per-candidate-factor", action="store_true",
@@ -219,6 +221,9 @@ def main():  # pragma: no cover
         world=dataclasses.replace(cfg.world, num_obstacles=args.obstacles,
                                   dynamic_ratio=args.dynamic_ratio),
         engine=dataclasses.replace(cfg.engine, timeout=args.timeout))
+    if args.max_obstacles is not None:
+        cfg = cfg.replace(planner=dataclasses.replace(
+            cfg.planner, max_obstacles=args.max_obstacles))
     if args.per_candidate_factor:
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, solver=dataclasses.replace(

@@ -1,0 +1,189 @@
+"""Oracle-in-the-loop validation: fly the closed loop on the f64 oracle.
+
+Purpose (RESULTS.md "Known benchmark-regime property"): the DYNUS
+benchmark's commanded-limit violation rates are claimed to be a property
+of the FORMULATION (chronically infeasible candidate QPs whose compromise
+iterates the reference executes without checking OSQP status,
+mpcPlanner.cpp:513-526), not an artifact of the f32 TPU solver. This
+driver substantiates that claim experimentally: it runs the exact same
+closed loop — same world, detector, predictor, candidate construction,
+scoring, controller — but solves every candidate QP with the native f64
+oracle (native/qp_solver.cpp: Ruiz scaling, in-solve adaptive rho with
+refactorization, warm start) through jax.pure_callback, then compares
+violation statistics side by side with the f32 runtime on the same seeds.
+
+If the oracle loop shows comparable violation rates, the formulation
+claim stands; if it flies clean, the runtime solver is leaving quality on
+the table.
+
+Usage:
+  python -m intent_mpc_tpu.benchmark.oracle_loop --seeds 0 1 2 3 \
+      --obstacles 200 --max-obstacles 32 --timeout 60 \
+      --oracle-iters 150 --out results/oracle_loop
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intent_mpc_tpu.ops import qp as qplib
+from intent_mpc_tpu.ops.admm import ADMMResult
+from intent_mpc_tpu.utils.config import IntentMPCConfig, PlannerConfig
+
+
+def make_oracle_override(cfg: PlannerConfig, max_iter: int = 150,
+                         eps: float = 1e-3, adapt_interval: int = 50):
+    """Build a make_plan_with_pred solve_override that solves the 6
+    candidate QPs with the native f64 oracle via jax.pure_callback.
+
+    The callback receives the dense problem data (materialized from the
+    structured QPData inside the jitted program) and the reference-style
+    primal warm start; it returns primal, duals, and the primal residual
+    so the engine's acceptance / scoring path is identical."""
+    from intent_mpc_tpu.oracle import native
+    if not native.available():
+        raise RuntimeError("native f64 oracle unavailable")
+
+    hdiag = np.asarray(qplib.hessian_diag(cfg), np.float64)
+    n = cfg.num_vars
+
+    def host_solve(A6, l6, u6, q6, warm6):
+        A6 = np.asarray(A6, np.float64)
+        l6 = np.asarray(l6, np.float64)
+        u6 = np.asarray(u6, np.float64)
+        q6 = np.asarray(q6, np.float64)
+        warm6 = np.asarray(warm6, np.float64)
+        C, m = A6.shape[0], A6.shape[1]
+        xs = np.zeros((C, n), np.float32)
+        ys = np.zeros((C, m), np.float32)
+        prim = np.zeros((C,), np.float32)
+        for i in range(C):
+            x0 = warm6[i] if np.any(warm6[i] != 0.0) else None
+            x, y, _status, _iters = native.solve_qp(
+                hdiag, q6[i], A6[i], l6[i], u6[i], max_iter=max_iter,
+                eps=eps, adapt_interval=adapt_interval, x0=x0)
+            ax = A6[i] @ x
+            z = np.clip(ax, l6[i], u6[i])
+            xs[i] = x.astype(np.float32)
+            ys[i] = y.astype(np.float32)
+            prim[i] = np.abs(ax - z).max()
+        return xs, ys, prim
+
+    def override(qps, warm6):
+        A6 = jax.vmap(lambda qq: qplib.dense_a_matrix(cfg, qq))(qps)
+        l6 = jax.vmap(lambda qq: qplib.con_to_flat(qq.l))(qps)
+        u6 = jax.vmap(lambda qq: qplib.con_to_flat(qq.u))(qps)
+        C, m = A6.shape[0], A6.shape[1]
+        K = qps.G.shape[2]
+        shapes = (jax.ShapeDtypeStruct((C, n), jnp.float32),
+                  jax.ShapeDtypeStruct((C, m), jnp.float32),
+                  jax.ShapeDtypeStruct((C,), jnp.float32))
+        xs, ys, prim = jax.pure_callback(host_solve, shapes, A6, l6, u6,
+                                         qps.q, warm6)
+        y_con = jax.vmap(lambda v: qplib.flat_to_con(v, cfg, K))(ys)
+        return ADMMResult(
+            x=xs, y=y_con, prim_res=prim,
+            dual_res=jnp.full_like(prim, jnp.nan),
+            solved=prim < 5e-2,
+            rho_suggest=jnp.full_like(prim, cfg.solver.rho))
+
+    return override
+
+
+def build_cfg(args) -> IntentMPCConfig:
+    cfg = IntentMPCConfig()
+    planner = dataclasses.replace(cfg.planner,
+                                  max_obstacles=args.max_obstacles)
+    return cfg.replace(
+        planner=planner,
+        world=dataclasses.replace(cfg.world, num_obstacles=args.obstacles,
+                                  dynamic_ratio=args.dynamic_ratio),
+        engine=dataclasses.replace(cfg.engine, timeout=args.timeout))
+
+
+def main():  # pragma: no cover
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seeds", type=int, nargs="+",
+                    default=list(range(8)))
+    ap.add_argument("--obstacles", type=int, default=200)
+    ap.add_argument("--dynamic-ratio", type=float, default=0.65)
+    ap.add_argument("--max-obstacles", type=int, default=32,
+                    help="QP obstacle slots (reduced from the production "
+                         "64 to keep the f64 dense solves tractable; the "
+                         "f32 comparison rows use the SAME value)")
+    ap.add_argument("--timeout", type=float, default=60.0)
+    ap.add_argument("--oracle-iters", type=int, default=150)
+    ap.add_argument("--eps", type=float, default=1e-3)
+    ap.add_argument("--runtime-iters", type=int, default=None,
+                    help="f32 runtime ADMM iterations (default: config)")
+    ap.add_argument("--skip-runtime", action="store_true")
+    ap.add_argument("--out", type=str, default="results/oracle_loop")
+    args = ap.parse_args()
+
+    jax.config.update("jax_platforms", "cpu")
+    from intent_mpc_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from intent_mpc_tpu.benchmark import harness as H
+    from intent_mpc_tpu.engine.closed_loop import run_episode, summarize
+    from intent_mpc_tpu.models.world import (generate_scenario,
+                                             straight_line_ref_traj)
+
+    cfg = build_cfg(args)
+    ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)
+    traj_len = jnp.asarray(ref.shape[0])
+    override = make_oracle_override(cfg.planner, max_iter=args.oracle_iters,
+                                    eps=args.eps)
+
+    os.makedirs(args.out, exist_ok=True)
+    oracle_rows = []
+    for seed in args.seeds:
+        sc = generate_scenario(seed=seed, cfg=cfg.world)
+        t0 = time.time()
+        carry, _ = run_episode(cfg, sc, ref, traj_len,
+                               solve_override=override)
+        row = summarize(cfg, carry)
+        row["seed"] = seed
+        row["wall_s"] = round(time.time() - t0, 1)
+        oracle_rows.append(row)
+        print(f"[oracle seed {seed}] goal={row['goal_reached']} "
+              f"col={row['collision']} maxv={row['max_velocity']:.2f} "
+              f"velviol={row['vel_violation_count']}/{row['vel_total_samples']} "
+              f"({row['wall_s']}s)", flush=True)
+
+    out = {"config": {"obstacles": args.obstacles,
+                      "max_obstacles": args.max_obstacles,
+                      "timeout": args.timeout,
+                      "oracle_iters": args.oracle_iters,
+                      "eps": args.eps, "seeds": args.seeds},
+           "oracle": H.aggregate(oracle_rows),
+           "oracle_rows": oracle_rows}
+
+    if not args.skip_runtime:
+        t0 = time.time()
+        rt_rows = H.run_trials(cfg, args.seeds,
+                               solver_iters=args.runtime_iters)
+        for seed, row in zip(args.seeds, rt_rows):
+            row["seed"] = seed
+        out["runtime"] = H.aggregate(rt_rows)
+        out["runtime_rows"] = rt_rows
+        out["runtime_wall_s"] = round(time.time() - t0, 1)
+
+    path = os.path.join(args.out, "summary.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, default=float)
+    print(json.dumps({k: out[k] for k in ("oracle", "runtime")
+                      if k in out}, indent=1, default=float))
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -126,9 +126,13 @@ def _aabb_distance(p: jnp.ndarray, centers: jnp.ndarray,
 def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
                  ref_traj: jnp.ndarray, traj_len: jnp.ndarray,
                  occ: OccupancyGrid, carry: EngineCarry, cycle_idx: jnp.ndarray,
-                 solver_iters: Optional[int] = None
+                 solver_iters: Optional[int] = None,
+                 solve_override=None
                  ) -> Tuple[EngineCarry, jnp.ndarray]:
-    """One 10 Hz MPC cycle + its 10 control ticks."""
+    """One 10 Hz MPC cycle + its 10 control ticks.
+
+    solve_override: optional `(qps, warm6) -> ADMMResult` replacing the
+    batched ADMM inside make_plan_with_pred (oracle-in-the-loop runs)."""
     ecfg = cfg.engine
     cycle_dt = ecfg.control_dt * ecfg.ticks_per_cycle
     t0 = cycle_idx.astype(jnp.float32) * cycle_dt
@@ -150,7 +154,8 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         plan_out = mpclib.make_plan_with_pred(
             cfg.planner, carry.planner, carry.pos, carry.vel, ref_traj,
             traj_len, prediction, visible, solver_iters,
-            curr_yaw=carry.yaw if ecfg.use_fov else None)
+            curr_yaw=carry.yaw if ecfg.use_fov else None,
+            solve_override=solve_override)
     else:
         # use_predictor=false: obstacles held constant over the horizon
         # (mpcNavigation.cpp:301-311 + updateDynamicObstacles)
@@ -312,7 +317,8 @@ def run_episode(cfg: IntentMPCConfig, scenario: Scenario,
                 occ: Optional[OccupancyGrid] = None,
                 solver_iters: Optional[int] = None,
                 num_cycles: Optional[int] = None,
-                record_path: bool = False):
+                record_path: bool = False,
+                solve_override=None):
     """Run one full episode; returns (final EngineCarry, path (C,3) or None)."""
     occ = occ if occ is not None else empty_grid()
     n = num_cycles if num_cycles is not None else cfg.engine.num_cycles
@@ -320,7 +326,7 @@ def run_episode(cfg: IntentMPCConfig, scenario: Scenario,
 
     def step(c, i):
         c2, p = episode_step(cfg, scenario, ref_traj, traj_len, occ, c, i,
-                             solver_iters)
+                             solver_iters, solve_override=solve_override)
         return c2, (p if record_path else None)
 
     carry, path = jax.lax.scan(step, carry0, jnp.arange(n))

@@ -239,13 +239,17 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
                         input_traj: jnp.ndarray, traj_len: jnp.ndarray,
                         pred: Prediction, visible: jnp.ndarray,
                         max_iter: Optional[int] = None,
-                        curr_yaw: Optional[jnp.ndarray] = None) -> PlanOutput:
+                        curr_yaw: Optional[jnp.ndarray] = None,
+                        solve_override=None) -> PlanOutput:
     """One replanning cycle (mpcCB body + makePlanWithPred).
 
     All 6 intent-combination QPs are assembled and solved as one batch.
     curr_yaw enables the FOV half-space rows (the reference's 3-argument
     updateCurrStates; the DYNUS benchmark uses the 2-argument form with
     numHalfSpace = 0).
+    solve_override: optional `(qps, warm6) -> ADMMResult` replacing the
+    batched ADMM — used by benchmark/oracle_loop.py to fly the closed
+    loop on the native f64 oracle (everything else identical).
     """
     H, W = cfg.horizon, cfg.mpc_window
     O = pred.pos.shape[0]
@@ -312,7 +316,9 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
                      jnp.zeros(cfg.num_vars))
     warm6 = jnp.broadcast_to(warm, (6,) + warm.shape)
 
-    if cfg.solver.shared_factor:
+    if solve_override is not None:
+        res = solve_override(qps, warm6)
+    elif cfg.solver.shared_factor:
         # one factorization per scenario: factor the candidate-mean QP with
         # union obstacle activity (over-regularized rows keep the shared
         # Minv a contraction for every candidate), then refine each

@@ -174,11 +174,15 @@ void tmatvec(const std::vector<double>& A, int m, int n, const double* y,
 extern "C" {
 
 // Returns 0 = solved (residuals < eps), 1 = max_iter reached, <0 = error.
+// x0 may be NULL (cold start) or an unscaled primal warm start — the
+// reference's OsqpEigen protocol: primal from the previous solution,
+// dual zero (mpcPlanner.cpp:485-509).
 int imt_solve_qp(int n, int m, const double* h_diag, const double* q,
                  const double* A, const double* l, const double* u,
                  double rho0, double sigma, double alpha, int max_iter,
                  double eps, int scaling, int adapt_interval,
-                 double* x_out, double* y_out, int* iters_out) {
+                 double* x_out, double* y_out, int* iters_out,
+                 const double* x0) {
     Work w;
     ruiz(h_diag, q, A, l, u, n, m, scaling, w);
 
@@ -190,6 +194,10 @@ int imt_solve_qp(int n, int m, const double* h_diag, const double* q,
 
     std::vector<double> x(n, 0.0), z(m, 0.0), y(m, 0.0);
     std::vector<double> rhs(n), xt(n), zt(m), zrel(m), ax(m), aty(n), tmp(n);
+    if (x0 != nullptr) {
+        for (int j = 0; j < n; ++j) x[j] = x0[j] / w.D[j];
+        matvec(w.Ah, m, n, x.data(), z.data());
+    }
     int it = 0;
     int status = 1;
     for (it = 0; it < max_iter; ++it) {

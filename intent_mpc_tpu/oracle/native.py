@@ -50,7 +50,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp,
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
-        dp, dp, ctypes.POINTER(ctypes.c_int)]
+        dp, dp, ctypes.POINTER(ctypes.c_int), dp]
     _lib = lib
     return lib
 
@@ -60,10 +60,12 @@ def available() -> bool:
 
 
 def solve_qp(h_diag, q, A, l, u, rho=0.1, sigma=1e-6, alpha=1.6,
-             max_iter=4000, eps=1e-9, scaling=10, adapt_interval=25
-             ) -> Tuple[np.ndarray, np.ndarray, int, int]:
+             max_iter=4000, eps=1e-9, scaling=10, adapt_interval=25,
+             x0=None) -> Tuple[np.ndarray, np.ndarray, int, int]:
     """Solve min 1/2 x'diag(h)x + q'x s.t. l <= Ax <= u in f64.
 
+    x0: optional primal warm start (reference protocol: primal from the
+    previous solution, dual zero — mpcPlanner.cpp:485-509).
     Returns (x, y, status, iters); status 0 = converged, 1 = max_iter."""
     lib = _load()
     if lib is None:
@@ -82,8 +84,13 @@ def solve_qp(h_diag, q, A, l, u, rho=0.1, sigma=1e-6, alpha=1.6,
     def p(a):
         return a.ctypes.data_as(dp)
 
+    if x0 is not None:
+        x0 = np.ascontiguousarray(x0, np.float64)
+        x0p = p(x0)
+    else:
+        x0p = ctypes.cast(None, ctypes.POINTER(ctypes.c_double))
     status = lib.imt_solve_qp(n, m, p(h_diag), p(q), p(A), p(l), p(u),
                               rho, sigma, alpha, max_iter, eps, scaling,
                               adapt_interval, p(x), p(y),
-                              ctypes.byref(iters))
+                              ctypes.byref(iters), x0p)
     return x, y, status, iters.value
