@@ -327,10 +327,30 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
         qp_mean = jax.tree.map(lambda a: jnp.mean(a, axis=0), qps)
         qp_mean = qp_mean._replace(
             obs_active=jnp.max(qps.obs_active, axis=0))
-        fac = admm_factor(cfg, qp_mean, rho_override=state.rho)
-        res = jax.vmap(lambda q, x: admm_solve(
-            cfg, q, x, max_iter, rho_override=state.rho,
-            factor=fac))(qps, warm6)
+        if cfg.solver.woodbury_candidates:
+            # candidates differ from the mean QP only in the closest
+            # obstacle's slot and the second-series slot
+            # (build_candidates). Factor the mean QP with those rows
+            # REMOVED: every candidate's normal matrix is then a purely
+            # positive low-rank update of the base, solved EXACTLY by a
+            # Woodbury correction inside admm_solve (diff_slots=...)
+            diff_slots = jnp.stack([closest.astype(jnp.int32),
+                                    jnp.asarray(O, jnp.int32)])
+            Kq = qps.G.shape[2]
+            slot_mask = 1.0 - jnp.max(
+                jax.nn.one_hot(diff_slots, Kq, dtype=qp_mean.obs_active.dtype),
+                axis=0)
+            qp_base = qp_mean._replace(
+                obs_active=qp_mean.obs_active * slot_mask[None, :])
+            fac = admm_factor(cfg, qp_base, rho_override=state.rho)
+            res = jax.vmap(lambda q, x: admm_solve(
+                cfg, q, x, max_iter, rho_override=state.rho,
+                factor=fac, diff_slots=diff_slots))(qps, warm6)
+        else:
+            fac = admm_factor(cfg, qp_mean, rho_override=state.rho)
+            res = jax.vmap(lambda q, x: admm_solve(
+                cfg, q, x, max_iter, rho_override=state.rho,
+                factor=fac))(qps, warm6)
     else:
         res = jax.vmap(lambda q, x: admm_solve(
             cfg, q, x, max_iter, rho_override=state.rho))(qps, warm6)

@@ -317,3 +317,185 @@ def dynamic_obstacles(tracks: Tracks, vote_thresh: float = 2.0):
     """Tracks classified dynamic (classificationCB voting outcome)."""
     dyn = tracks.live & (tracks.dyn_votes >= vote_thresh)
     return tracks.pos, tracks.vel, tracks.size, dyn
+
+
+# ---------------------------------------------------------------------------
+# Bird-view (V-map) stage of the U-V detector (uvDetector.cpp:518-569
+# extract_bird_view + UVtracker:43-155 check_status). The reference
+# converts U-map boxes to metric bird's-eye rectangles and tracks them
+# frame-to-frame by overlap-or-distance association; the track history
+# feeds its 2D Kalman velocity estimate.
+# ---------------------------------------------------------------------------
+
+def bird_view_boxes(intr: CameraIntrinsics, uboxes: jnp.ndarray,
+                    valid: jnp.ndarray, num_bins: int = 32) -> jnp.ndarray:
+    """U-map boxes -> bird's-eye metric rectangles (extract_bird_view).
+
+    uboxes (B, 4): [u_min, u_max, depth, pixel height] from u_map_detect.
+    Returns (B, 4): [x_left, y_near, width, depth_extent] in meters, in
+    the camera's ground frame (x lateral from optical axis, y = depth).
+    The reference takes the box's depth-bin extent as the body depth and
+    centers the body behind the observed front face
+    (uvDetector.cpp:524-533)."""
+    bin_w = (intr.depth_max - intr.depth_min) / num_bins
+    depth = uboxes[:, 2]
+    width = depth * (uboxes[:, 1] - uboxes[:, 0]) / intr.fx
+    x_left = depth * (uboxes[:, 0] - intr.cx) / intr.fx
+    y_near = depth - 0.5 * bin_w
+    out = jnp.stack([x_left, y_near, width,
+                     jnp.full_like(depth, bin_w)], axis=-1)
+    return jnp.where(valid[:, None], out, 0.0)
+
+
+class BirdTracks(NamedTuple):
+    """Fixed-shape bird's-eye track table (UVtracker state)."""
+    box: jnp.ndarray     # (T, 4) [x, y, w, h]
+    vel: jnp.ndarray     # (T, 2) center velocity (m/s)
+    age: jnp.ndarray     # (T,) frames tracked
+    live: jnp.ndarray    # (T,) bool
+
+
+def init_bird_tracks(max_tracks: int) -> BirdTracks:
+    T = max_tracks
+    return BirdTracks(box=jnp.zeros((T, 4)), vel=jnp.zeros((T, 2)),
+                      age=jnp.zeros(T, jnp.int32),
+                      live=jnp.zeros(T, bool))
+
+
+def _rect_overlap(b1, b2):
+    """Intersection area of [x, y, w, h] rects."""
+    lo = jnp.maximum(b1[..., 0:2], b2[..., 0:2])
+    hi = jnp.minimum(b1[..., 0:2] + b1[..., 2:4], b2[..., 0:2] + b2[..., 2:4])
+    wh = jnp.clip(hi - lo, 0.0, None)
+    return wh[..., 0] * wh[..., 1]
+
+
+def bird_track_step(tracks: BirdTracks, boxes: jnp.ndarray,
+                    valid: jnp.ndarray, dt: float,
+                    overlap_threshold: float = 0.5) -> BirdTracks:
+    """One UVtracker::check_status cycle, fixed shape.
+
+    A detection inherits a track when the overlap ratio (relative to
+    EITHER rectangle, the reference's max(o/a_now, o/a_pre)) exceeds the
+    threshold OR the center distance is below the mean combined-diagonal
+    metric (uvDetector.cpp:94-100). Matched tracks update a
+    finite-difference center velocity (the role of the reference's
+    per-track 2D KF history); unmatched detections open fresh tracks."""
+    T = tracks.box.shape[0]
+    B = boxes.shape[0]
+    ov = _rect_overlap(tracks.box[:, None, :], boxes[None, :, :])  # (T,B)
+    a_pre = tracks.box[:, 2] * tracks.box[:, 3]
+    a_now = boxes[:, 2] * boxes[:, 3]
+    ratio = jnp.maximum(ov / jnp.maximum(a_now[None, :], 1e-9),
+                        ov / jnp.maximum(a_pre[:, None], 1e-9))
+    c_pre = tracks.box[:, 0:2] + tracks.box[:, 2:4] / 2
+    c_now = boxes[:, 0:2] + boxes[:, 2:4] / 2
+    dist = jnp.linalg.norm(c_pre[:, None] - c_now[None, :], axis=-1)
+    metric = jnp.sqrt((tracks.box[:, 2:3] + boxes[None, :, 2]) ** 2
+                      + (tracks.box[:, 3:4] + boxes[None, :, 3]) ** 2) / 2
+    ok = ((ratio >= overlap_threshold) | (dist <= metric)) \
+        & tracks.live[:, None] & valid[None, :]
+
+    # greedy one-to-one by descending overlap ratio
+    score = jnp.where(ok, ratio + 1.0 / (1.0 + dist), -jnp.inf)
+
+    def pick(carry, _):
+        s, t2d = carry
+        flat = jnp.argmax(s)
+        ti, di = flat // B, flat % B
+        hit = s[ti, di] > -jnp.inf
+        t2d = t2d.at[ti].set(jnp.where(hit, di, t2d[ti]))
+        s = s.at[ti, :].set(-jnp.inf)
+        s = jnp.where(hit, s.at[:, di].set(-jnp.inf), s)
+        return (s, t2d), None
+
+    (_, t2d), _ = jax.lax.scan(pick, (score, jnp.full(T, -1, jnp.int32)),
+                               None, length=min(T, B))
+    matched = t2d >= 0
+    di = jnp.clip(t2d, 0, B - 1)
+    new_c = c_now[di]
+    vel = jnp.where(matched[:, None], (new_c - c_pre) / dt, tracks.vel)
+    box = jnp.where(matched[:, None], boxes[di], tracks.box)
+    age = jnp.where(matched, tracks.age + 1, 0)
+    live = tracks.live & matched
+
+    det_used = jnp.any((t2d[:, None] == jnp.arange(B)[None, :])
+                       & matched[:, None], axis=0)
+    det_new = valid & ~det_used
+
+    def open_slot(state, bi):
+        box, vel, age, live = state
+        free = jnp.argmin(live)
+        can = det_new[bi] & ~live[free]
+        box = box.at[free].set(jnp.where(can, boxes[bi], box[free]))
+        vel = vel.at[free].set(jnp.where(can, 0.0, vel[free]))
+        age = age.at[free].set(jnp.where(can, 1, age[free]))
+        live = live.at[free].set(live[free] | can)
+        return (box, vel, age, live), None
+
+    state, _ = jax.lax.scan(open_slot, (box, vel, age, live),
+                            jnp.arange(B))
+    box, vel, age, live = state
+    return BirdTracks(box=box, vel=vel, age=age, live=live)
+
+
+# ---------------------------------------------------------------------------
+# Detection fusion (dynamicDetector::filterBBoxes :987-1136)
+# ---------------------------------------------------------------------------
+
+def fuse_mutual_best(uv_pos, uv_size, uv_valid, db_pos, db_size, db_valid,
+                     iou_thresh: float = 0.5):
+    """Mutual-best-IOU fusion of U-V and DBSCAN boxes (:993-1031).
+
+    A pair survives only if each box is the other's best IOU match and
+    both IOUs clear the threshold; the fused box is the conservative
+    union AABB. Returns (pos (U,3), size (U,3), valid (U,)) indexed by
+    the uv slot."""
+    iou = box_iou(uv_pos[:, None], uv_size[:, None],
+                  db_pos[None, :], db_size[None, :])       # (U, D)
+    iou = jnp.where(uv_valid[:, None] & db_valid[None, :], iou, -1.0)
+    best_db = jnp.argmax(iou, axis=1)                      # (U,)
+    best_uv = jnp.argmax(iou, axis=0)                      # (D,)
+    mutual = best_uv[best_db] == jnp.arange(uv_pos.shape[0])
+    ok = mutual & (jnp.max(iou, axis=1) > iou_thresh)
+    mp = db_pos[best_db]
+    ms = db_size[best_db]
+    hi = jnp.maximum(uv_pos + uv_size / 2, mp + ms / 2)
+    lo = jnp.minimum(uv_pos - uv_size / 2, mp - ms / 2)
+    return (hi + lo) / 2, hi - lo, ok
+
+
+def project_box_to_image(intr: CameraIntrinsics, center_w, size_w,
+                         cam_pos, cam_rot):
+    """3D world box -> image-plane rect [tlx, tly, w, h] at center depth
+    (filterBBoxes :1040-1076: corners projected at the center's z)."""
+    c = (center_w - cam_pos) @ cam_rot                     # world -> cam
+    z = jnp.maximum(c[..., 2], 1e-3)
+    s = size_w
+    tlx = (intr.fx * (c[..., 0] - s[..., 0] / 2) + intr.cx * z) / z
+    tly = (intr.fy * (c[..., 1] - s[..., 1] / 2) + intr.cy * z) / z
+    brx = (intr.fx * (c[..., 0] + s[..., 0] / 2) + intr.cx * z) / z
+    bry = (intr.fy * (c[..., 1] + s[..., 1] / 2) + intr.cy * z) / z
+    return jnp.stack([tlx, tly, brx - tlx, bry - tly], axis=-1)
+
+
+def fuse_external_2d(intr: CameraIntrinsics, centers_w, sizes_w, valid,
+                     cam_pos, cam_rot, det2d, det2d_valid,
+                     iou_thresh: float = 0.5):
+    """External 2D-detection fusion (the reference's YOLO branch,
+    filterBBoxes :1035-1133): each external image-plane detection
+    [tlx, tly, w, h] marks its best-IOU projected 3D box as
+    dynamic/human. Detector-agnostic: any (rect, valid) stream works.
+    Returns (is_dynamic (B,), is_human (B,)) flags for the 3D boxes."""
+    rects = project_box_to_image(intr, centers_w, sizes_w, cam_pos, cam_rot)
+    ov = _rect_overlap(det2d[:, None, :], rects[None, :, :])   # (D, B)
+    a_d = det2d[:, 2] * det2d[:, 3]
+    a_r = rects[:, 2] * rects[:, 3]
+    union = a_d[:, None] + a_r[None, :] - ov
+    iou = jnp.where(union > 0, ov / jnp.maximum(union, 1e-9), 0.0)
+    iou = jnp.where(det2d_valid[:, None] & valid[None, :], iou, 0.0)
+    best = jnp.argmax(iou, axis=1)                             # (D,)
+    hit = jnp.max(iou, axis=1) > iou_thresh
+    # scatter-max of hit flags onto each detection's best box
+    flags = jnp.zeros(centers_w.shape[0], bool).at[best].max(hit)
+    return flags, flags

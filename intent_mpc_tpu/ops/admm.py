@@ -65,11 +65,15 @@ class Factor(NamedTuple):
     the solve, so factoring once per scenario instead of once per
     candidate removes most of the setup cost; per-candidate exactness is
     restored by structured iterative refinement against the candidate's
-    own fresh normal matrix inside every x-update."""
+    own fresh normal matrix inside every x-update — or exactly, with a
+    Woodbury correction over the rows that differ from the mean QP
+    (admm_solve(diff_slots=...); the 6 intent candidates differ only in
+    the closest obstacle's slot and the second-series slot)."""
     D: jnp.ndarray
     E: ConVec
     c: jnp.ndarray
     Minv: jnp.ndarray       # (n, n)
+    qp_mean: Optional[QPData] = None  # the factored QP (Woodbury base)
 
 
 def ruiz_equilibrate(cfg: PlannerConfig, qp: QPData, hdiag: jnp.ndarray,
@@ -123,7 +127,7 @@ def admm_factor(cfg: PlannerConfig, qp: QPData,
     rho = qplib.rho_vec(cfg, qp, rho_base, scfg.rho_eq_scale)
     rho_inner = rho.map(lambda r, e: r * e * e, E)
     Minv = _explicit_minv(cfg, qp, h_s, scfg, rho_inner, D)
-    return Factor(D=D, E=E, c=c, Minv=Minv)
+    return Factor(D=D, E=E, c=c, Minv=Minv, qp_mean=qp)
 
 
 def _explicit_minv(cfg: PlannerConfig, qp: QPData, h_s, scfg: SolverConfig,
@@ -141,13 +145,61 @@ def _explicit_minv(cfg: PlannerConfig, qp: QPData, h_s, scfg: SolverConfig,
     return jnp.matmul(Linv.T, Linv, precision=_PREC)
 
 
+def _slot_columns(cfg: PlannerConfig, qp: QPData, rho_obs: jnp.ndarray,
+                  D: jnp.ndarray, E_obs: jnp.ndarray,
+                  slots: jnp.ndarray) -> jnp.ndarray:
+    """Scaled sqrt-weighted row vectors of the obstacle rows in `slots`.
+
+    Each obstacle row [g . p_w - slack_w >= lo] contributes to the scaled
+    normal matrix as rho * a a^T with a = E_row * (A D)_row. With a
+    (possibly fractional) dynamic-slack mix d the contribution splits
+    into exactly two rank-1 terms (matching assemble_normal_matrix's
+    slack diagonals/crosses):
+        sqrt(rho d)       * [g ; -1 at u_w[3]]
+        sqrt(rho (1 - d)) * [g ; -1 at u_w[4]]
+    Returns (n, 2 * S * W * 2) columns for S slots.
+    """
+    H, W = cfg.horizon, cfg.mpc_window
+    n = cfg.num_vars
+    wi = jnp.arange(W)
+    G = qp.G[:, slots]                     # (W, S, 3)
+    Es = E_obs[:, slots]                   # (W, S)
+    # inactive rows contribute ZERO to the normal matrix
+    # (assemble_normal_matrix masks rho by activity) -> zero columns
+    rho_s = rho_obs[:, slots] * qp.obs_active[:, slots]
+    dyn = qp.obs_dyn[:, slots]
+    slk = qp.obs_slack[:, slots]
+    S = slots.shape[0]
+
+    xcols = 8 * wi[:, None] + jnp.arange(3)[None]                  # (W,3)
+    u3 = 8 * H + 5 * wi + 3
+    u4 = 8 * H + 5 * wi + 4
+
+    def side(ucol, weight):
+        # (W, S, n) rows: g on x, -1 on the slack column, scaled+weighted
+        base = jnp.zeros((W, S, n), G.dtype)
+        gv = Es[:, :, None] * G * D[xcols][:, None, :]
+        base = base.at[wi[:, None, None],
+                       jnp.zeros((1, S, 1), jnp.int32) + jnp.arange(S)[None, :, None],
+                       xcols[:, None, :]].set(gv)
+        sv = -Es * slk * D[ucol][:, None]
+        base = base.at[wi[:, None], jnp.arange(S)[None, :],
+                       ucol[:, None]].set(sv)
+        w = jnp.sqrt(jnp.maximum(rho_s * weight, 0.0))
+        return base * w[:, :, None]
+
+    cols = jnp.concatenate([side(u3, dyn), side(u4, 1.0 - dyn)], axis=1)
+    return cols.reshape(W * 2 * S, n).T                            # (n, 2SW)
+
+
 def admm_solve(cfg: PlannerConfig, qp: QPData,
                x0: Optional[jnp.ndarray] = None,
                max_iter: Optional[int] = None,
                scfg: Optional[SolverConfig] = None,
                feas_tol: float = 5e-2,
                rho_override=None,
-               factor: Optional[Factor] = None) -> ADMMResult:
+               factor: Optional[Factor] = None,
+               diff_slots: Optional[jnp.ndarray] = None) -> ADMMResult:
     """Solve one QP (vmap over a leading axis for batches).
 
     rho_override: scalar base penalty replacing scfg.rho — used for
@@ -204,15 +256,67 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
             # closed-form M @ x (this QP's own normal matrix, never
             # assembled densely)
             return rhs - m_apply(x)
+    elif diff_slots is not None and scfg.woodbury_candidates:
+        # EXACT per-candidate x-update: the shared factor is built from
+        # the candidate-mean QP with the rows of `diff_slots` REMOVED
+        # (make_plan_with_pred zeroes their activity before admm_factor),
+        # so this candidate's normal matrix is a purely POSITIVE low-rank
+        # update of the factored base:
+        #   M_cand = M_base + U U^T,   U = this candidate's scaled
+        #   sqrt(rho)-weighted rows of the two differing slots (4W cols).
+        # Woodbury: M_cand^{-1} v = Minv v - T (U^T (Minv v)) with
+        # T = Minv U C^{-1} and C = I + U^T Minv U — SPD, so the
+        # capacitance factorizes with a small Cholesky (no batched LU).
+        # No refinement iterations; per-iteration cost is two thin
+        # (n, 4W) matvecs on top of the shared Minv read.
+        Minv = factor.Minv
+        refine = 0
+        U = _slot_columns(cfg, qp, rho.obs, D, E.obs, diff_slots)
+        k2 = U.shape[1]
+        Wu = jnp.matmul(Minv, U, precision=_PREC)
+        C = jnp.eye(k2, dtype=U.dtype) \
+            + jnp.matmul(U.T, Wu, precision=_PREC)
+        Lc = jnp.linalg.cholesky(C)
+        Lci = jax.scipy.linalg.solve_triangular(
+            Lc, jnp.eye(k2, dtype=U.dtype), lower=True)
+        Cinv = jnp.matmul(Lci.T, Lci, precision=_PREC)
+        T = jnp.matmul(Wu, Cinv, precision=_PREC)
+
+        def m_residual(rhs, x):          # unused at refine == 0
+            return rhs - m_apply(x)
+
+        def msolve_woodbury(rhs):
+            v = jnp.matmul(Minv, rhs, precision=_PREC)
+            return v - jnp.matmul(T, jnp.matmul(U.T, v, precision=_PREC),
+                                  precision=_PREC)
     else:
         Minv = factor.Minv
         refine = scfg.shared_refine_iters
+        if scfg.block_refine:
+            # refinement against THIS candidate's normal matrix through
+            # its block-tridiagonal blocks: ~20 KB of operand per apply
+            # vs a full constraint-space round trip (the measured
+            # refinement hotspot, RESULTS.md stage profile)
+            from intent_mpc_tpu.ops import block_chol as bc
+            Dblk, Eblk = bc.build_blocks(cfg, qp, h_s, scfg.sigma,
+                                         rho_inner, D)
+            perm = bc.flat_to_block_perm(cfg)
 
-        def m_residual(rhs, x):
-            return rhs - m_apply(x)
+            def m_residual(rhs, x):
+                return rhs - bc.block_apply(Dblk, Eblk, perm, x, n)
+        else:
+            def m_residual(rhs, x):
+                return rhs - m_apply(x)
+
+    try:
+        custom_msolve = msolve_woodbury
+    except NameError:
+        custom_msolve = None
 
     def make_step(refine_k: int):
         def msolve(rhs):
+            if custom_msolve is not None:
+                return custom_msolve(rhs)
             x = jnp.matmul(Minv, rhs, precision=_PREC)
             for _ in range(refine_k):
                 r = m_residual(rhs, x)

@@ -169,6 +169,32 @@ class SolverConfig:
                                       # ~5/6 of the Cholesky cost: measured
                                       # 3100 -> 4757 solves/s at batch 32
                                       # with identical DYNUS quality
+    woodbury_candidates: bool = False  # shared-factor solves with known
+                                      # differing slots (the engine path)
+                                      # apply an EXACT Woodbury correction
+                                      # for the candidate's obstacle rows
+                                      # instead of iterative refinement:
+                                      # M_c^{-1} = Minv - Minv U C^{-1}
+                                      # U^T Minv over the 4W rank-1 terms
+                                      # of the two differing slots (the
+                                      # shared factor is built with those
+                                      # rows removed, so C is SPD).
+                                      # Measured on v5e at batch 32:
+                                      # 4585 solves/s vs 5037 for 3-step
+                                      # refinement (per-candidate U/T HBM
+                                      # reads each iteration) with equal
+                                      # DYNUS quality -> off by default on
+                                      # the XLA path; it is the exact
+                                      # x-update for the fused kernel
+    block_refine: bool = False        # refinement via (H,13,13) block
+                                      # apply (ops/block_chol.block_apply).
+                                      # MEASURED NEGATIVE on v5e: 13-wide
+                                      # blocks pad to 128 lanes whether
+                                      # lowered as dot_general or
+                                      # broadcast-multiply-reduce (44 ms vs
+                                      # 32 ms/cycle at batch 32), so the
+                                      # closed-form round trip stays the
+                                      # default refinement operator
     shared_refine_warm_frac: float = 0.0  # fraction of the iteration budget
                                       # run with shared_refine_warm
                                       # refinement steps before switching

@@ -62,6 +62,7 @@ _SLOW_TESTS = {
     "test_nonpredictor_engine_mode",
     "test_plan_next_view_targets_frontier",
     "test_polish_matches_oracle",
+    "test_woodbury_candidates_match_exact_solve",
     "test_episode_with_polish",
 }
 

@@ -145,3 +145,89 @@ def test_tracks_coast_when_detection_drops_out():
     for _ in range(7):
         tracks = pc.track_step(tracks, *empty, dt, miss_max=5)
     assert int(tracks.live.sum()) == 0
+
+
+# ---------------------------------------------------------------------------
+# Bird-view (V-map) stage + fusion entries (uvDetector.cpp:518-569,
+# UVtracker:43-155, dynamicDetector::filterBBoxes:987-1133)
+# ---------------------------------------------------------------------------
+
+
+def test_bird_view_box_geometry():
+    intr = _intr()
+    """A U-map box converts to the metric bird's-eye rect the intrinsics
+    imply (extract_bird_view math)."""
+    num_bins = 32
+    depth = 3.0
+    uboxes = jnp.asarray([[60.0, 100.0, depth, 40.0]])
+    out = np.asarray(pc.bird_view_boxes(intr, uboxes, jnp.ones(1, bool),
+                                        num_bins))
+    bin_w = (intr.depth_max - intr.depth_min) / num_bins
+    assert out[0, 2] == pytest.approx(depth * 40.0 / intr.fx)      # width
+    assert out[0, 0] == pytest.approx(depth * (60.0 - intr.cx) / intr.fx)
+    assert out[0, 1] == pytest.approx(depth - 0.5 * bin_w)         # near y
+    assert out[0, 3] == pytest.approx(bin_w)
+
+
+def test_bird_track_velocity_and_new_tracks():
+    """A box moving laterally inherits its track (overlap-or-distance
+    rule) and gets a finite-difference velocity; a far-away box opens a
+    new track instead of stealing the old one."""
+    dt = 0.1
+    tracks = pc.init_bird_tracks(4)
+    box0 = jnp.asarray([[0.0, 2.0, 1.0, 0.5]])
+    tracks = pc.bird_track_step(tracks, box0, jnp.ones(1, bool), dt)
+    assert int(tracks.live.sum()) == 1
+    # moved 0.05 m in x: overlaps previous heavily -> same track
+    box1 = jnp.asarray([[0.05, 2.0, 1.0, 0.5]])
+    tracks = pc.bird_track_step(tracks, box1, jnp.ones(1, bool), dt)
+    assert int(tracks.live.sum()) == 1
+    sl = int(np.asarray(tracks.live).argmax())
+    assert int(tracks.age[sl]) == 2
+    np.testing.assert_allclose(np.asarray(tracks.vel[sl]), [0.5, 0.0],
+                               atol=1e-5)
+    # an unrelated far box: new track, old one dies (no detection)
+    box2 = jnp.asarray([[10.0, 6.0, 1.0, 0.5]])
+    tracks = pc.bird_track_step(tracks, box2, jnp.ones(1, bool), dt)
+    assert int(tracks.live.sum()) == 1
+    sl = int(np.asarray(tracks.live).argmax())
+    assert int(tracks.age[sl]) == 1                 # fresh track
+
+
+def test_fuse_mutual_best():
+    """Mutual-best IOU pairs fuse to the conservative union box; a
+    one-sided best match is dropped (filterBBoxes :1005-1031)."""
+    uv_pos = jnp.asarray([[0.0, 0.0, 1.0], [5.0, 0.0, 1.0]])
+    uv_size = jnp.asarray([[1.0, 1.0, 1.0], [1.0, 1.0, 1.0]])
+    db_pos = jnp.asarray([[0.1, 0.0, 1.0], [9.0, 0.0, 1.0]])
+    db_size = jnp.asarray([[1.2, 1.0, 1.0], [1.0, 1.0, 1.0]])
+    pos, size, ok = pc.fuse_mutual_best(uv_pos, uv_size,
+                                        jnp.ones(2, bool),
+                                        db_pos, db_size, jnp.ones(2, bool))
+    ok = np.asarray(ok)
+    assert ok[0] and not ok[1]
+    # union AABB of ([-0.5,0.5], [-0.5,0.7]) -> center 0.1, width 1.2
+    assert float(pos[0, 0]) == pytest.approx(0.1, abs=1e-6)
+    assert float(size[0, 0]) == pytest.approx(1.2, abs=1e-6)
+
+
+def test_fuse_external_2d_marks_dynamic():
+    intr = _intr()
+    """An external 2D detection overlapping a projected 3D box marks it
+    dynamic; a non-overlapping detection marks nothing (the YOLO branch,
+    detector-agnostic)."""
+    cam_pos = jnp.zeros(3)
+    cam_rot = jnp.eye(3)              # camera axes = world axes, z depth
+    centers = jnp.asarray([[0.0, 0.0, 3.0], [2.0, 0.0, 3.0]])
+    sizes = jnp.asarray([[1.0, 1.0, 1.0], [1.0, 1.0, 1.0]])
+    rect0 = np.asarray(pc.project_box_to_image(
+        intr, centers[0], sizes[0], cam_pos, cam_rot))
+    det = jnp.asarray([rect0 + np.array([3.0, 2.0, 0.0, 0.0])])  # jitter
+    dyn, human = pc.fuse_external_2d(intr, centers, sizes,
+                                     jnp.ones(2, bool), cam_pos, cam_rot,
+                                     det, jnp.ones(1, bool))
+    assert bool(dyn[0]) and not bool(dyn[1])
+    far = jnp.asarray([[1000.0, 1000.0, 10.0, 10.0]])
+    dyn, _ = pc.fuse_external_2d(intr, centers, sizes, jnp.ones(2, bool),
+                                 cam_pos, cam_rot, far, jnp.ones(1, bool))
+    assert not bool(dyn.any())

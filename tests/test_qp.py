@@ -228,3 +228,54 @@ def test_odd_shapes_build_and_solve(H, K):
     assert x.shape == (cfg.num_vars,)
     assert np.isfinite(x).all()
     assert np.isfinite(float(res.prim_res))
+
+
+def test_woodbury_candidates_match_exact_solve():
+    """admm_solve(factor=..., diff_slots=...) — the exact Woodbury
+    per-candidate x-update over a shared base factor — must track the
+    per-candidate factorization path within iterate noise (same bound as
+    the refinement test above), and the low-rank identity
+    M_cand = M_base + U U^T must hold exactly."""
+    import dataclasses
+    cfg = PlannerConfig(horizon=30, max_obstacles=8, solver=dataclasses.replace(
+        SolverConfig(), woodbury_candidates=True))
+    qs = [_build_both(cfg, 8, 4, seed=s, with_static=True)[0]
+          for s in range(6)]
+    qps = jax.tree.map(lambda *a: jnp.stack(a), *qs)
+    qp_mean = jax.tree.map(lambda a: jnp.mean(a, axis=0), qps)
+    qp_mean = qp_mean._replace(obs_active=jnp.max(qps.obs_active, axis=0))
+    slots = jnp.asarray([2, 7], jnp.int32)
+    K = qps.G.shape[2]
+    mask = 1.0 - jnp.max(jax.nn.one_hot(slots, K,
+                                        dtype=qp_mean.obs_active.dtype), axis=0)
+    qp_base = qp_mean._replace(obs_active=qp_mean.obs_active * mask[None, :])
+    fac = admm_factor(cfg, qp_base)
+
+    # low-rank identity on candidate 0
+    from intent_mpc_tpu.ops.admm import _slot_columns
+    scfg = cfg.solver
+    hdiag = qplib.hessian_diag(cfg)
+    h_s = fac.c * fac.D * fac.D * hdiag
+    rho_c = qplib.rho_vec(cfg, qs[0], scfg.rho, scfg.rho_eq_scale)
+    rho_b = qplib.rho_vec(cfg, qp_base, scfg.rho, scfg.rho_eq_scale)
+    Mc = qplib.assemble_normal_matrix(
+        cfg, qs[0], h_s, scfg.sigma,
+        rho_c.map(lambda r, e: r * e * e, fac.E), col_scale=fac.D)
+    Mb = qplib.assemble_normal_matrix(
+        cfg, qp_base, h_s, scfg.sigma,
+        rho_b.map(lambda r, e: r * e * e, fac.E), col_scale=fac.D)
+    U = _slot_columns(cfg, qs[0], rho_c.obs, fac.D, fac.E.obs, slots)
+    lhs = np.asarray(Mc - Mb, np.float64)
+    rhs = np.asarray(U, np.float64) @ np.asarray(U, np.float64).T
+    scale = max(np.abs(lhs).max(), 1e-9)
+    assert np.abs(lhs - rhs).max() / scale < 1e-3
+
+    x0 = jnp.zeros((6, cfg.num_vars))
+    r_base = jax.vmap(lambda q, x: admm_solve(cfg, q, x, 100))(qps, x0)
+    r_wood = jax.vmap(lambda q, x: admm_solve(
+        cfg, q, x, 100, factor=fac, diff_slots=slots))(qps, x0)
+    xb = np.asarray(r_base.x)
+    xw = np.asarray(r_wood.x)
+    H = cfg.horizon
+    assert np.isfinite(xw).all()
+    assert np.abs((xb - xw)[:, :8 * H]).max() < 0.05
