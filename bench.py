@@ -33,6 +33,9 @@ def main():
                     help="also measure per-cycle dispatch latency (p50/p99)")
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax profiler trace to this directory")
+    ap.add_argument("--fused", action="store_true",
+                    help="solve with the VMEM-resident fleet kernel "
+                         "(ops/pallas_fused.py)")
     ap.add_argument("--per-candidate-factor", action="store_true",
                     help="disable the shared-factor solve (factor every "
                          "intent candidate separately, the pre-r1 default)")
@@ -58,6 +61,11 @@ def main():
         planner = dataclasses.replace(
             cfg.planner, solver=dataclasses.replace(
                 cfg.planner.solver, shared_factor=False))
+        cfg = cfg.replace(planner=planner)
+    if args.fused:
+        planner = dataclasses.replace(
+            cfg.planner, solver=dataclasses.replace(
+                cfg.planner.solver, fused_solve=True))
         cfg = cfg.replace(planner=planner)
 
     ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)

@@ -200,6 +200,8 @@ def main():  # pragma: no cover
                     help="QP obstacle-slot count (default: config, 64)")
     ap.add_argument("--out", type=str, default="benchmark_results")
     ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--fused", action="store_true",
+                    help="solve with the VMEM-resident fleet kernel")
     ap.add_argument("--per-candidate-factor", action="store_true",
                     help="disable the shared-factor solve (factor every "
                          "intent candidate separately)")
@@ -228,6 +230,10 @@ def main():  # pragma: no cover
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, solver=dataclasses.replace(
                 cfg.planner.solver, shared_factor=False)))
+    if args.fused:
+        cfg = cfg.replace(planner=dataclasses.replace(
+            cfg.planner, solver=dataclasses.replace(
+                cfg.planner.solver, fused_solve=True)))
 
     t0 = time.time()
     seeds = range(args.seed0, args.seed0 + args.trials)

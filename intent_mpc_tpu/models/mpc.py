@@ -254,6 +254,22 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
     H, W = cfg.horizon, cfg.mpc_window
     O = pred.pos.shape[0]
 
+    # Cap the QP's obstacle slots at cfg.max_obstacles: keep the NEAREST
+    # visible obstacles (the binding set; a 3 s horizon reaches ~15 m
+    # while the sensor sees 30 m). The reference constrains every
+    # in-range obstacle (updateObstacleParam); this cap is the
+    # fixed-shape analogue — world-sized slot counts (200+) would carry
+    # ~6000 constraint rows per QP of which the far half can never bind.
+    if O > cfg.max_obstacles:
+        d2 = jnp.linalg.norm(pred.pos[:, FORWARD, 0, 0:2]
+                             - curr_pos[None, 0:2], axis=-1)
+        score = jnp.where(visible, -d2, -jnp.inf)
+        _, keep = jax.lax.top_k(score, cfg.max_obstacles)
+        pred = Prediction(pos=pred.pos[keep], size=pred.size[keep],
+                          intent_prob=pred.intent_prob[keep])
+        visible = visible[keep]
+        O = cfg.max_obstacles
+
     xref, new_start = reference_window(
         cfg, input_traj, traj_len, curr_pos, state.last_ref_start)
 
@@ -318,6 +334,41 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
 
     if solve_override is not None:
         res = solve_override(qps, warm6)
+    elif cfg.solver.fused_solve:
+        # Fleet-fused Pallas kernel (ops/pallas_fused.py). custom_vmap:
+        # called per scenario the primal path runs the XLA shared-factor
+        # solve; under the engine's scenario vmap JAX calls the batched
+        # rule ONCE with the whole fleet, which runs all iterations of
+        # all problems in one VMEM-resident kernel.
+        from intent_mpc_tpu.ops.admm import admm_factor
+        from intent_mpc_tpu.ops.pallas_fused import fleet_admm
+
+        @jax.custom_batching.custom_vmap
+        def solve6(qps_, warm_, rho_):
+            qp_mean = jax.tree.map(lambda a: jnp.mean(a, axis=0), qps_)
+            qp_mean = qp_mean._replace(
+                obs_active=jnp.max(qps_.obs_active, axis=0))
+            fac = admm_factor(cfg, qp_mean, rho_override=rho_)
+            return jax.vmap(lambda q, x: admm_solve(
+                cfg, q, x, max_iter, rho_override=rho_,
+                factor=fac))(qps_, warm_)
+
+        @solve6.def_vmap
+        def _solve6_batched(axis_size, in_batched, qps_, warm_, rho_):
+            qps_ = jax.tree.map(
+                lambda a, b: a if b else jnp.broadcast_to(
+                    a[None], (axis_size,) + a.shape),
+                qps_, in_batched[0])
+            if not in_batched[1]:
+                warm_ = jnp.broadcast_to(warm_[None],
+                                         (axis_size,) + warm_.shape)
+            if not in_batched[2]:
+                rho_ = jnp.broadcast_to(rho_, (axis_size,))
+            res_b = fleet_admm(cfg, qps_, warm_, max_iter=max_iter,
+                               rho_override=rho_)
+            return res_b, jax.tree.map(lambda _: True, res_b)
+
+        res = solve6(qps, warm6, state.rho)
     elif cfg.solver.shared_factor:
         # one factorization per scenario: factor the candidate-mean QP with
         # union obstacle activity (over-regularized rows keep the shared

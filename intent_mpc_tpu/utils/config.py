@@ -169,6 +169,20 @@ class SolverConfig:
                                       # ~5/6 of the Cholesky cost: measured
                                       # 3100 -> 4757 solves/s at batch 32
                                       # with identical DYNUS quality
+    fused_solve: bool = False         # solve the whole fleet's candidate
+                                      # QPs in ONE VMEM-resident Pallas
+                                      # kernel (ops/pallas_fused.py) via
+                                      # custom_vmap under the engine's
+                                      # scenario vmap. Hardware-correct
+                                      # and DYNUS-gated (16/16, 0
+                                      # collisions) but MEASURED SLOWER
+                                      # than the XLA path (4525 vs 5736
+                                      # solves/s at batch 32): the
+                                      # infeasible-regime dual ramps force
+                                      # bf16x6 dots, at which the x-update
+                                      # is MXU-pass-bound and VMEM
+                                      # residency buys nothing (RESULTS.md
+                                      # kernel post-mortem) -> off
     woodbury_candidates: bool = False  # shared-factor solves with known
                                       # differing slots (the engine path)
                                       # apply an EXACT Woodbury correction

@@ -64,6 +64,8 @@ _SLOW_TESTS = {
     "test_polish_matches_oracle",
     "test_woodbury_candidates_match_exact_solve",
     "test_episode_with_polish",
+    "test_fleet_kernel_matches_xla_shared_path",
+    "test_fleet_kernel_in_engine_vmap",
 }
 
 
