@@ -73,8 +73,11 @@ def parameterize(path: jnp.ndarray, v_max: float, a_max: float,
     qp = grad(path)          # (N,3) ~ unit tangents
     qpp = grad(qp)
 
-    # velocity cap
-    b_vel = jnp.min((v_max / jnp.maximum(jnp.abs(qp), 1e-6)) ** 2, axis=-1)
+    # velocity cap; v_max may be a scalar or a per-sample (N,) array
+    # (the braking-zone limits from models/traj_divider.py)
+    v_cap = jnp.broadcast_to(jnp.asarray(v_max, path.dtype), (N,))
+    b_vel = jnp.min((v_cap[:, None]
+                     / jnp.maximum(jnp.abs(qp), 1e-6)) ** 2, axis=-1)
 
     # backward pass: b_k <= b_{k+1} - 2 ds * a_lo(b_{k+1})
     def back(b_next, k):
