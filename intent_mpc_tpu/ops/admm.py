@@ -349,6 +349,11 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
     sigma, alpha = scfg.sigma, scfg.alpha
     iters = max_iter if max_iter is not None else scfg.max_iter
 
+    if scfg.adaptive_rho and factor is None:
+        return _solve_adaptive(cfg, qp, scfg, hdiag, D, E, c, h_s, q_s,
+                               l_s, u_s, a_s, at_s, xs0, z0, y0, iters,
+                               rho_base, feas_tol)
+
     # optional two-phase refinement with a shared factor: cheap x-updates
     # while the compromise iterate is far from settled, full refinement
     # for the tail that shapes the executed trajectory
@@ -387,6 +392,97 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
     return ADMMResult(x=x, y=y, prim_res=prim, dual_res=dual,
                       solved=prim < feas_tol,
                       rho_suggest=jnp.asarray(rho_next))
+
+
+def _solve_adaptive(cfg, qp, scfg, hdiag, D, E, c, h_s, q_s, l_s, u_s,
+                    a_s, at_s, xs0, z0, y0, iters, rho_base, feas_tol):
+    """OSQP's in-solve adaptive rho with refactorization: run blocks of
+    `adapt_interval` iterations; after each block compare the relative
+    primal/dual residuals (OSQP adapt_rho semantics, mirrored by the
+    oracle at numpy_ref.py:208-221 and native/qp_solver.cpp:210-235),
+    rescale rho by sqrt(prim_rel/dual_rel) outside [0.2, 5], and
+    refactorize. The factorization rides the structured block Cholesky
+    (ops/block_chol.py), so a refactor costs O(H*13^3) — cheap enough
+    to run traced under lax.cond every block."""
+    n = cfg.num_vars
+    sigma, alpha = scfg.sigma, scfg.alpha
+    interval = scfg.adapt_interval
+    n_blocks = max(iters // interval, 1)
+
+    def factor_for(rho_b):
+        rho = qplib.rho_vec(cfg, qp, rho_b, scfg.rho_eq_scale)
+        rho_inner = rho.map(lambda r, e: r * e * e, E)
+        return _explicit_minv(cfg, qp, h_s, scfg, rho_inner, D), rho
+
+    Minv0, rho0 = factor_for(rho_base)
+
+    def iteration(carry, rho, Minv):
+        x, z, y = carry
+        rz_y = z.map(lambda zi, ri, yi: ri * zi - yi, rho, y)
+        rhs = sigma * x - q_s + at_s(rz_y)
+        x_t = jnp.matmul(Minv, rhs, precision=_PREC)
+        for _ in range(scfg.refine_iters):
+            r = rhs - (h_s * x_t + sigma * x_t + at_s(a_s(x_t).map(
+                lambda a, ri: a * ri, rho)))
+            x_t = x_t + jnp.matmul(Minv, r, precision=_PREC)
+        z_t = a_s(x_t)
+        x_n = alpha * x_t + (1.0 - alpha) * x
+        z_relax = z_t.map(lambda zt, zi: alpha * zt + (1.0 - alpha) * zi, z)
+        z_n = z_relax.map(
+            lambda zr, yi, ri, li, ui: jnp.clip(zr + yi / ri, li, ui),
+            y, rho, l_s, u_s)
+        y_n = y.map(lambda yi, zr, zn, ri: yi + ri * (zr - zn),
+                    z_relax, z_n, rho)
+        return (x_n, z_n, y_n)
+
+    def block(carry, _):
+        x, z, y, rho_b, Minv = carry
+        rho = qplib.rho_vec(cfg, qp, rho_b, scfg.rho_eq_scale)
+
+        def inner(c2, _):
+            return iteration(c2, rho, Minv), None
+        (x, z, y), _ = jax.lax.scan(inner, (x, z, y), None,
+                                    length=interval)
+
+        # scaled relative residuals (OSQP adapt rule)
+        ax = a_s(x)
+        prim = (ax - z).inf_norm()
+        aty = at_s(y)
+        dual = jnp.max(jnp.abs(h_s * x + q_s + aty))
+        prim_rel = prim / jnp.maximum(
+            jnp.maximum(ax.inf_norm(), z.inf_norm()), 1e-10)
+        dual_rel = dual / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(h_s * x)),
+                        jnp.maximum(jnp.max(jnp.abs(aty)),
+                                    jnp.max(jnp.abs(q_s)))), 1e-10)
+        ratio = jnp.sqrt(prim_rel / jnp.maximum(dual_rel, 1e-12))
+        do_adapt = (ratio > 5.0) | (ratio < 0.2)
+        rho_new = jnp.where(do_adapt,
+                            jnp.clip(rho_b * ratio, 1e-6, 1e6), rho_b)
+
+        Minv2 = jax.lax.cond(
+            do_adapt,
+            lambda rb: factor_for(rb)[0],
+            lambda rb: Minv,
+            rho_new)
+        # rescale duals to keep y/rho continuous across the rho switch?
+        # OSQP keeps y as-is (rho enters the iteration directly) — same.
+        return (x, z, y, rho_new, Minv2), None
+
+    carry0 = (xs0, z0, y0, jnp.asarray(rho_base, jnp.float32), Minv0)
+    (xs, zs, ys, rho_fin, _), _ = jax.lax.scan(block, carry0, None,
+                                               length=n_blocks)
+
+    x = D * xs
+    y = ys.scale(E).map(lambda v: v / c)
+    ax = qplib.a_matvec(cfg, qp, x)
+    z_clip = ax.map(lambda a, li, ui: jnp.clip(a, li, ui), qp.l, qp.u)
+    prim = (ax - z_clip).inf_norm()
+    aty = qplib.at_matvec(cfg, qp, y)
+    dual = jnp.max(jnp.abs(hdiag * x + qp.q + aty))
+    return ADMMResult(x=x, y=y, prim_res=prim, dual_res=dual,
+                      solved=prim < feas_tol,
+                      rho_suggest=rho_fin)
 
 
 @partial(jax.jit, static_argnums=(0, 2))

@@ -152,6 +152,19 @@ class SolverConfig:
                                       # tightest parity)
     eps_abs: float = 1e-3             # used only for residual reporting
     eps_rel: float = 1e-3
+    adaptive_rho: bool = False        # OSQP's in-solve rho adaptation +
+                                      # refactorization every
+                                      # adapt_interval iterations
+                                      # (standalone factor=None solves;
+                                      # the structured factorization makes
+                                      # refactors cheap). Off in the
+                                      # closed loop: the shared-factor
+                                      # path covers it and the infeasible
+                                      # DYNUS regime measured unstable
+                                      # under rho adaptation (see
+                                      # temporal_rho)
+    adapt_interval: int = 25          # iterations between adaptation
+                                      # checks (OSQP default)
     structured_factor: bool = True    # factor the x-update normal matrix
                                       # via its block-tridiagonal horizon
                                       # structure (ops/block_chol.py)

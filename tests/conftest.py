@@ -66,6 +66,7 @@ _SLOW_TESTS = {
     "test_episode_with_polish",
     "test_fleet_kernel_matches_xla_shared_path",
     "test_fleet_kernel_in_engine_vmap",
+    "test_adaptive_rho_recovers_bad_initialization",
 }
 
 

@@ -279,3 +279,32 @@ def test_woodbury_candidates_match_exact_solve():
     H = cfg.horizon
     assert np.isfinite(xw).all()
     assert np.abs((xb - xw)[:, :8 * H]).max() < 0.05
+
+
+def test_adaptive_rho_recovers_bad_initialization():
+    """OSQP's in-solve rho adaptation (oracle numpy_ref.py:208-221;
+    native qp_solver.cpp:210-235): from a deliberately bad initial rho
+    the adaptive solve must land much closer to the oracle optimum than
+    the fixed-rho solve at the same iteration budget, and the adapted
+    rho must move toward the well-tuned range."""
+    import dataclasses
+    from intent_mpc_tpu.oracle import numpy_ref
+    cfg = PlannerConfig(horizon=30, max_obstacles=8,
+                        solver=SolverConfig(max_iter=500, refine_iters=1))
+    qp, (P, q, A, l, u), _ = _build_both(cfg, 8, 4, with_static=True)
+    x_c, _ = numpy_ref.solve_qp_dense(P, q, A, l, u, max_iter=20000,
+                                      eps=1e-9, polish=True)
+    H = cfg.horizon
+
+    def pos_err(res):
+        x = np.asarray(res.x, np.float64)
+        return np.abs(x[:8 * H].reshape(H, 8)[:, :3]
+                      - x_c[:8 * H].reshape(H, 8)[:, :3]).max()
+
+    for rho0 in (1e-3, 10.0):
+        fixed = admm_solve(cfg, qp, rho_override=rho0)
+        s2 = dataclasses.replace(cfg.solver, adaptive_rho=True)
+        adap = admm_solve(cfg, qp, scfg=s2, rho_override=rho0)
+        assert pos_err(adap) < pos_err(fixed) / 3.0, (rho0, pos_err(adap),
+                                                      pos_err(fixed))
+        assert 1e-3 < float(adap.rho_suggest) < 1.0
