@@ -34,6 +34,16 @@ import jax
 import jax.numpy as jnp
 
 from intent_mpc_tpu.models.occupancy import OccupancyGrid, is_occupied
+from intent_mpc_tpu.models.octo import OctoMap, is_blocked
+
+
+def occupied_at(m, p):
+    """Point-collision dispatch: planners take either the unified
+    OccupancyGrid (rrtOccMap backend) or an OctoMap (rrtOctomap /
+    rrtStarOctomap backend with unknown-space semantics)."""
+    if isinstance(m, OctoMap):
+        return is_blocked(m, p)
+    return is_occupied(m, p)
 
 
 class RRTConfig(NamedTuple):
@@ -56,7 +66,7 @@ class RRTResult(NamedTuple):
 def _edge_free(occ: OccupancyGrid, a, b, checks: int):
     fr = (jnp.arange(checks) + 1.0) / checks
     pts = a[None, :] + (b - a)[None, :] * fr[:, None]
-    return ~jnp.any(is_occupied(occ, pts))
+    return ~jnp.any(occupied_at(occ, pts))
 
 
 def rrt_plan(occ: OccupancyGrid, start: jnp.ndarray, goal: jnp.ndarray,
@@ -89,7 +99,7 @@ def rrt_plan(occ: OccupancyGrid, start: jnp.ndarray, goal: jnp.ndarray,
             * jnp.minimum(dist, cfg.incremental_dist)
 
         ok = _edge_free(occ, q_near, q_new, cfg.edge_checks) \
-            & ~is_occupied(occ, q_new) & ~done
+            & ~occupied_at(occ, q_new) & ~done
         nodes = nodes.at[count].set(jnp.where(ok, q_new, nodes[count]))
         parent = parent.at[count].set(jnp.where(ok, ni, parent[count]))
         reached = ok & (jnp.linalg.norm(q_new - goal) <= cfg.goal_reach_dist)
@@ -207,7 +217,7 @@ def rrt_star_plan(occ: OccupancyGrid, start: jnp.ndarray, goal: jnp.ndarray,
         dist = jnp.linalg.norm(vec)
         q_new = q_near + vec / jnp.maximum(dist, 1e-9) \
             * jnp.minimum(dist, cfg.incremental_dist)
-        free_new = ~is_occupied(occ, q_new)
+        free_new = ~occupied_at(occ, q_new)
 
         # choose-parent: min cost-through over free in-radius neighbors
         # (the nearest node is always in radius: steer caps the step at
@@ -297,7 +307,7 @@ def prm_plan(occ: OccupancyGrid, start, goal, bounds_lo, bounds_hi, key,
     S = cfg.num_samples
     samples = jax.random.uniform(key, (S, 3)) * (hi - lo) + lo
     nodes = jnp.concatenate([start[None], goal[None], samples])  # (S+2,3)
-    free = ~is_occupied(occ, nodes)
+    free = ~occupied_at(occ, nodes)
 
     d = jnp.linalg.norm(nodes[:, None, :] - nodes[None, :, :], axis=-1)
     within = (d <= cfg.connect_radius) & (d > 1e-6)
