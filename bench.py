@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="solve with the VMEM-resident fleet kernel "
                          "(ops/pallas_fused.py)")
+    ap.add_argument("--refine", type=int, default=None,
+                    help="shared-factor refinement steps per x-update")
+    ap.add_argument("--refine-mode", type=str, default=None,
+                    choices=["stationary", "cg"])
     ap.add_argument("--per-candidate-factor", action="store_true",
                     help="disable the shared-factor solve (factor every "
                          "intent candidate separately, the pre-r1 default)")
@@ -67,6 +71,16 @@ def main():
             cfg.planner, solver=dataclasses.replace(
                 cfg.planner.solver, fused_solve=True))
         cfg = cfg.replace(planner=planner)
+    if args.refine is not None or args.refine_mode is not None:
+        sv = cfg.planner.solver
+        sv = dataclasses.replace(
+            sv,
+            shared_refine_iters=(args.refine if args.refine is not None
+                                 else sv.shared_refine_iters),
+            shared_refine_mode=(args.refine_mode if args.refine_mode
+                                else sv.shared_refine_mode))
+        cfg = cfg.replace(planner=dataclasses.replace(
+            cfg.planner, solver=sv))
 
     ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)
     traj_len = jnp.asarray(ref.shape[0])

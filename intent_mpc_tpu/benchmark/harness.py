@@ -202,6 +202,10 @@ def main():  # pragma: no cover
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--fused", action="store_true",
                     help="solve with the VMEM-resident fleet kernel")
+    ap.add_argument("--refine", type=int, default=None,
+                    help="shared-factor refinement steps per x-update")
+    ap.add_argument("--refine-mode", type=str, default=None,
+                    choices=["stationary", "cg"])
     ap.add_argument("--per-candidate-factor", action="store_true",
                     help="disable the shared-factor solve (factor every "
                          "intent candidate separately)")
@@ -234,6 +238,16 @@ def main():  # pragma: no cover
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, solver=dataclasses.replace(
                 cfg.planner.solver, fused_solve=True)))
+    if args.refine is not None or args.refine_mode is not None:
+        sv = cfg.planner.solver
+        sv = dataclasses.replace(
+            sv,
+            shared_refine_iters=(args.refine if args.refine is not None
+                                 else sv.shared_refine_iters),
+            shared_refine_mode=(args.refine_mode if args.refine_mode
+                                else sv.shared_refine_mode))
+        cfg = cfg.replace(planner=dataclasses.replace(
+            cfg.planner, solver=sv))
 
     t0 = time.time()
     seeds = range(args.seed0, args.seed0 + args.trials)

@@ -518,7 +518,11 @@ def fleet_admm(cfg: PlannerConfig, qps: QPData, warm: jnp.ndarray,
     factor the union-activity candidate-mean QP per scenario (XLA;
     structured block Cholesky), run all iterations in one VMEM-resident
     kernel, refine each x-update against the candidate's own normal
-    matrix `shared_refine_iters` times in closed form.
+    matrix `shared_refine_iters` times in closed form. The in-kernel
+    recurrence is STATIONARY refinement (x += Minv r); the XLA path's
+    production default is preconditioned-CG refinement
+    (SolverConfig.shared_refine_mode="cg"), so exact-iterate comparisons
+    against the kernel must pin the XLA path to "stationary".
 
     Returns an ADMMResult with leaves batched (S, 6, ...).
     """

@@ -222,18 +222,32 @@ class SolverConfig:
                                       # 32 ms/cycle at batch 32), so the
                                       # closed-form round trip stays the
                                       # default refinement operator
+    shared_refine_mode: str = "cg"    # x-update refinement recurrence:
+                                      # "cg" preconditioned CG on this
+                                      # candidate's normal system
+                                      # (Krylov-optimal step scalars; one
+                                      # fewer Minv read than stationary at
+                                      # equal normal-operator count), or
+                                      # "stationary" x += Minv r. Measured
+                                      # on v5e at batch 32: cg-2 6247
+                                      # solves/s with FULL DYNUS gate
+                                      # (16/16, 0 collisions, travel
+                                      # 25.7 s) vs stationary-3 5699-5736;
+                                      # stationary-2 and cg-1 both fail
+                                      # the gate (timeouts)
     shared_refine_warm_frac: float = 0.0  # fraction of the iteration budget
                                       # run with shared_refine_warm
                                       # refinement steps before switching
                                       # to shared_refine_iters (0 = uniform)
     shared_refine_warm: int = 1       # cheap-phase refinement count
-    shared_refine_iters: int = 3      # refinement steps per x-update when
+    shared_refine_iters: int = 2      # refinement steps per x-update when
                                       # solving with a shared factor.
-                                      # 3 keeps full DYNUS closed-loop
-                                      # quality (16/16 success; 2 steps
-                                      # showed 2/16 timeouts) and the
-                                      # refinement matvecs ride the cheap
-                                      # iteration path (RESULTS.md)
+                                      # cg-2 keeps full DYNUS closed-loop
+                                      # quality (16/16 success, 0
+                                      # collisions); stationary needed 3
+                                      # (2 showed 2/16 timeouts), cg-1
+                                      # fails (7/16 timeouts) — the gate
+                                      # results live in RESULTS.md
     temporal_rho: bool = False        # carry OSQP's adaptive-rho suggestion
                                       # across replan cycles. Off by default:
                                       # in the chronically-infeasible DYNUS

@@ -38,8 +38,13 @@ def _xla_ref(cfg, qps, warm):
 
 def test_fleet_kernel_matches_xla_shared_path():
     """Same iterates as the XLA shared-factor solve (f32 noise)."""
+    # the kernel implements the STATIONARY refinement recurrence in-VMEM;
+    # pin the XLA reference to the same recurrence (production default is
+    # cg — see SolverConfig.shared_refine_mode)
     cfg = PlannerConfig(horizon=10, max_obstacles=4,
-                        solver=SolverConfig(max_iter=60))
+                        solver=SolverConfig(max_iter=60,
+                                            shared_refine_mode="stationary",
+                                            shared_refine_iters=3))
     qps = _fleet(cfg, 4, 4, 3)
     warm = jnp.zeros((4, 6, cfg.num_vars))
     ref = _xla_ref(cfg, qps, warm)
@@ -67,6 +72,11 @@ def test_fleet_kernel_in_engine_vmap():
     cfg = small_config(num_obstacles=6, horizon=10, timeout=1.0,
                        max_obstacles=6, hist=12)
     cfg = cfg.replace(goal=(8.0, 0.0, 2.0))
+    # compare both engines under the kernel's stationary recurrence
+    cfg = cfg.replace(planner=dataclasses.replace(
+        cfg.planner, solver=dataclasses.replace(
+            cfg.planner.solver, shared_refine_mode="stationary",
+            shared_refine_iters=3)))
     cfg_f = cfg.replace(planner=dataclasses.replace(
         cfg.planner, solver=dataclasses.replace(cfg.planner.solver,
                                                 fused_solve=True)))
