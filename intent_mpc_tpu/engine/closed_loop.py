@@ -30,6 +30,8 @@ from intent_mpc_tpu.models import mpc as mpclib
 from intent_mpc_tpu.models import predictor as predlib
 from intent_mpc_tpu.models.controller import (ControllerState, acc_command,
                                               init_controller)
+from intent_mpc_tpu.models.quad_plant import (QuadPlantConfig, QuadState,
+                                              quad_init, quad_step)
 from intent_mpc_tpu.models.occupancy import OccupancyGrid, empty_grid
 from intent_mpc_tpu.models.world import Scenario, obstacle_state
 from intent_mpc_tpu.utils.config import IntentMPCConfig
@@ -90,6 +92,9 @@ class EngineCarry(NamedTuple):
     tracking_start: jnp.ndarray  # time the current tracking round began
     yaw: jnp.ndarray             # heading (follows trajectory direction,
                                  # trajExeCB :543-555; feeds FOV rows)
+    quad: QuadState              # rigid-body plant state (used when
+                                 # EngineConfig.plant == "quadrotor";
+                                 # pos/vel mirror it then)
     done: jnp.ndarray            # monitor goal criterion met
     metrics: Metrics
 
@@ -111,6 +116,7 @@ def init_carry(cfg: IntentMPCConfig, scenario: Scenario) -> EngineCarry:
         repeats_left=jnp.asarray(cfg.engine.repeat_path, jnp.int32),
         tracking_start=jnp.zeros((), jnp.float32),
         yaw=jnp.zeros((), jnp.float32),
+        quad=quad_init(start),
         done=jnp.asarray(False),
         metrics=init_metrics())
 
@@ -198,6 +204,7 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
     traj_ready = traj_ready & ~do_repeat
 
     pos, vel = carry.pos, carry.vel
+    quad = carry.quad
     ctrl = carry.controller
     prev_acc = carry.prev_target_acc
     has_prev = carry.has_prev_target
@@ -231,6 +238,15 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         ctrl = jax.tree.map(lambda n, o: jnp.where(active, n, o), ctrl_new, ctrl)
         if ecfg.perfect_tracking:
             new_pos, new_vel = tp, tv
+        elif ecfg.plant == "quadrotor":
+            # rigid-body plant (quadcopterPlugin acc-control mode): the
+            # controller's world-acc command + trajectory heading drive
+            # the PID->force/torque cascade
+            quad_new = quad_step(QuadPlantConfig(), quad, acc_cmd, yaw,
+                                 ecfg.control_dt)
+            quad = jax.tree.map(lambda n, o: jnp.where(active, n, o),
+                                quad_new, quad)
+            new_pos, new_vel = quad.pos, quad.vel
         else:
             new_vel = vel + acc_cmd * ecfg.control_dt
             new_pos = pos + vel * ecfg.control_dt \
@@ -308,7 +324,8 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         traj_age=traj_age, traj_ready=traj_ready,
         prev_target_acc=prev_acc, has_prev_target=has_prev,
         stopping=stopping, stop_pos=stop_pos, repeats_left=repeats_left,
-        tracking_start=tracking_start, yaw=yaw, done=done, metrics=metrics)
+        tracking_start=tracking_start, yaw=yaw, quad=quad, done=done,
+        metrics=metrics)
     return new_carry, pos
 
 

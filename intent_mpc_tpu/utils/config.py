@@ -349,6 +349,12 @@ class EngineConfig:
     goal_dist_threshold: float = 0.5     # run_mpc_benchmark.py:269
     goal_vel_threshold: float = 0.1
     goal_stop_threshold: float = 0.3     # replanCheckCB goal-dist (mpcNavigation.cpp:423)
+    plant: str = "double_integrator"     # closed-loop plant:
+                                         # "double_integrator" (the array
+                                         # plant of the DYNUS bench) or
+                                         # "quadrotor" — the Gazebo
+                                         # quadcopterPlugin acc-control
+                                         # rigid body (models/quad_plant)
     perfect_tracking: bool = False       # True: odom == commanded target
     use_predictor: bool = True           # autonomous_flight/use_predictor:
                                          # False -> constant-obstacle MPC
