@@ -20,8 +20,13 @@ import jax.numpy as jnp
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32,
-                    help="scenarios per chip (6 candidate QPs each/cycle)")
+    ap.add_argument("--batch", type=int, default=128,
+                    help="scenarios per chip (6 candidate QPs each/cycle). "
+                         "128 is the measured single-chip throughput peak; "
+                         "32 is the certified 100 ms real-time batch "
+                         "(RESULTS.md deployment contracts). The "
+                         "batch-throughput curve has XLA tiling cliffs: "
+                         "36/64/96/112 measure far below 40/56/80/128.")
     ap.add_argument("--cycles", type=int, default=10,
                     help="timed MPC cycles")
     ap.add_argument("--obstacles", type=int, default=200)
