@@ -80,7 +80,22 @@ def main():  # pragma: no cover
     devs = [d for d in devs if d <= avail]
     rows = run_study(devs, args.per_device, args.cycles, args.obstacles,
                      args.iters)
-    print(json.dumps(rows, indent=2))
+
+    # compiler-verified communication inventory at the largest mesh
+    from intent_mpc_tpu.utils.config import small_config
+    from intent_mpc_tpu.models.world import straight_line_ref_traj
+    from intent_mpc_tpu.parallel import sharding as sh
+    cfg = small_config(num_obstacles=args.obstacles, horizon=10,
+                       timeout=2.0, max_obstacles=args.obstacles, hist=16)
+    ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)
+    nd = devs[-1]
+    scen = sh.stack_scenarios(cfg, range(nd * args.per_device))
+    rep = sh.collective_report(cfg, scen, ref, jnp.asarray(ref.shape[0]),
+                               sh.make_mesh(nd), solver_iters=args.iters,
+                               num_cycles=args.cycles)
+    print(json.dumps({"rows": rows, "collectives": rep["counts"],
+                      "collective_bytes_per_fleet_episode":
+                          rep["total_bytes"]}, indent=2))
 
 
 if __name__ == "__main__":  # pragma: no cover

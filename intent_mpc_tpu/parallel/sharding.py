@@ -82,16 +82,7 @@ def shard_scenarios(scenarios: Scenario, mesh: Mesh) -> Scenario:
     return jax.tree.map(lambda a: jax.device_put(a, sh), scenarios)
 
 
-def batch_rollout(cfg: IntentMPCConfig, scenarios: Scenario,
-                  ref_traj: jnp.ndarray, traj_len, mesh: Optional[Mesh] = None,
-                  solver_iters: Optional[int] = None,
-                  num_cycles: Optional[int] = None,
-                  record_paths: bool = False):
-    """Run a batch of episodes (sharded over the mesh when given).
-
-    Returns (per-scenario Metrics batch, aggregate dict of psum-reduced
-    fleet statistics[, paths (B, C, 3) when record_paths])."""
-
+def _make_run_shard(cfg, traj_len, solver_iters, num_cycles, record_paths):
     def run_shard(scen, ref):
         out = jax.vmap(
             lambda s: cl.run_episode(cfg, s, ref, traj_len,
@@ -111,20 +102,19 @@ def batch_rollout(cfg: IntentMPCConfig, scenarios: Scenario,
             "solve_successes": jnp.sum(m.solve_successes.astype(jnp.float32)),
         }
         return (m, paths) if record_paths else (m, None), local
+    return run_shard
 
-    if mesh is None:
-        (metrics, paths), local = jax.jit(run_shard)(scenarios, ref_traj)
-        agg = {k: float(v) for k, v in local.items()}
-        if record_paths:
-            return metrics, agg, paths
-        return metrics, agg
 
+def _make_sharded(cfg, mesh, solver_iters, num_cycles, record_paths,
+                  traj_len=None):
+    """The shard_map-wrapped fleet program (one arg set per traj_len)."""
+    run_shard = _make_run_shard(cfg, traj_len, solver_iters, num_cycles,
+                                record_paths)
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    @jax.jit
     @partial(shard_map, mesh=mesh,
              in_specs=(P("batch"), P()),
              out_specs=(P("batch"), P()),
@@ -136,12 +126,98 @@ def batch_rollout(cfg: IntentMPCConfig, scenarios: Scenario,
                    else jax.lax.psum(v, "batch"))
                for k, v in local.items()}
         return (m, paths) if record_paths else (m, jnp.zeros(1)), red
+    return sharded
 
+
+def batch_rollout(cfg: IntentMPCConfig, scenarios: Scenario,
+                  ref_traj: jnp.ndarray, traj_len, mesh: Optional[Mesh] = None,
+                  solver_iters: Optional[int] = None,
+                  num_cycles: Optional[int] = None,
+                  record_paths: bool = False):
+    """Run a batch of episodes (sharded over the mesh when given).
+
+    Returns (per-scenario Metrics batch, aggregate dict of psum-reduced
+    fleet statistics[, paths (B, C, 3) when record_paths])."""
+    run_shard = _make_run_shard(cfg, traj_len, solver_iters, num_cycles,
+                                record_paths)
+    if mesh is None:
+        (metrics, paths), local = jax.jit(run_shard)(scenarios, ref_traj)
+        agg = {k: float(v) for k, v in local.items()}
+        if record_paths:
+            return metrics, agg, paths
+        return metrics, agg
+
+    sharded = jax.jit(_make_sharded(cfg, mesh, solver_iters, num_cycles,
+                                    record_paths, traj_len))
     (metrics, paths), agg = sharded(shard_scenarios(scenarios, mesh), ref_traj)
     agg = {k: float(v) for k, v in agg.items()}
     if record_paths:
         return metrics, agg, paths
     return metrics, agg
+
+
+_COLLECTIVE_RE = None
+
+
+def collective_report(cfg: IntentMPCConfig, scenarios: Scenario,
+                      ref_traj: jnp.ndarray, traj_len,
+                      mesh: Mesh, solver_iters: Optional[int] = None,
+                      num_cycles: Optional[int] = None) -> dict:
+    """Compile the sharded fleet program and inventory its cross-device
+    communication from the optimized HLO.
+
+    Makes the scaling claim compiler-verified instead of asserted: the
+    program's ONLY collectives should be the per-fleet psum/pmin of the
+    aggregate statistics (a few f32 scalars per device per episode
+    batch); any all-gather / all-to-all / collective-permute, or an
+    all-reduce of scenario-sized tensors, means a sharding leak that
+    would turn multi-chip scaling into a bandwidth problem. Returns
+    {"counts": {op: n}, "total_bytes": int, "ops": [(op, bytes), ...]}.
+    """
+    import re
+    global _COLLECTIVE_RE
+    if _COLLECTIVE_RE is None:
+        _COLLECTIVE_RE = re.compile(
+            r"(all-reduce|all-gather|all-to-all|collective-permute|"
+            r"reduce-scatter)")
+    shape_re = re.compile(r"(f32|f64|s32|u32|pred|bf16|f16)\[([0-9,]*)\]")
+    dtype_bytes = {"f32": 4, "s32": 4, "u32": 4, "f64": 8, "pred": 1,
+                   "bf16": 2, "f16": 2}
+
+    fn = _make_sharded(cfg, mesh, solver_iters, num_cycles, False, traj_len)
+    sc_sharded = shard_scenarios(scenarios, mesh)
+    txt = jax.jit(fn).lower(sc_sharded, ref_traj).compile().as_text()
+
+    # an op APPLICATION is "<shapes> op(" after "= "; operand mentions are
+    # "%op" references and are excluded by the (?<!%) guard
+    apply_re = re.compile(
+        r"(?<!%)\b(all-reduce|all-gather|all-to-all|collective-permute|"
+        r"reduce-scatter)(?:-start|-done)?\(")
+    counts: dict = {}
+    ops = []
+    for line in txt.splitlines():
+        line = line.strip()
+        if "= " not in line:
+            continue
+        head = line.split("= ", 1)[1]
+        m = apply_re.search(head)
+        if not m:
+            continue
+        op = m.group(1)
+        nbytes = 0
+        # output shapes sit between "= " and the op application:
+        # "x = (f32[], f32[8]) all-reduce(...)"
+        for dt, dims in shape_re.findall(head[:m.start()]):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes += n * dtype_bytes[dt]
+        counts[op] = counts.get(op, 0) + 1
+        ops.append((op, nbytes))
+    return {"counts": counts,
+            "total_bytes": sum(b for _, b in ops),
+            "ops": ops}
 
 
 def aggregate_summary(agg: dict) -> dict:

@@ -75,3 +75,20 @@ def test_global_scenario_feed_matches_host_stack(setup):
     # batch not divisible across the 8 mesh shards -> loud error
     with pytest.raises(ValueError):
         sh.stack_scenarios_global(cfg, list(range(7)), mesh)
+
+
+def test_fleet_program_is_communication_free(setup):
+    """Compiler-verified scaling claim: the optimized HLO of the sharded
+    fleet program contains ONLY the per-episode statistic reductions — a
+    few scalar all-reduces, tens of bytes — and no all-gather /
+    all-to-all / collective-permute / reduce-scatter. Any scenario-sized
+    collective here is a sharding leak that would turn multi-chip
+    scaling into a bandwidth problem (RESULTS.md weak-scaling section)."""
+    cfg, ref = setup
+    mesh = sh.make_mesh(8)
+    scen = sh.stack_scenarios(cfg, range(8))
+    rep = sh.collective_report(cfg, scen, ref, jnp.asarray(ref.shape[0]),
+                               mesh, solver_iters=10, num_cycles=2)
+    assert set(rep["counts"]) <= {"all-reduce"}, rep
+    assert rep["total_bytes"] <= 100, rep   # scalar statistics only
+    assert all(b <= 64 for _, b in rep["ops"]), rep
