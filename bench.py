@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="solve with the VMEM-resident fleet kernel "
                          "(ops/pallas_fused.py)")
+    ap.add_argument("--folded-refine", action="store_true",
+                    help="pre-folded refinement normal-operator apply")
     ap.add_argument("--refine", type=int, default=None,
                     help="shared-factor refinement steps per x-update")
     ap.add_argument("--refine-mode", type=str, default=None,
@@ -76,10 +78,12 @@ def main():
             cfg.planner, solver=dataclasses.replace(
                 cfg.planner.solver, fused_solve=True))
         cfg = cfg.replace(planner=planner)
-    if args.refine is not None or args.refine_mode is not None:
+    if (args.refine is not None or args.refine_mode is not None
+            or args.folded_refine):
         sv = cfg.planner.solver
         sv = dataclasses.replace(
             sv,
+            folded_refine=args.folded_refine or sv.folded_refine,
             shared_refine_iters=(args.refine if args.refine is not None
                                  else sv.shared_refine_iters),
             shared_refine_mode=(args.refine_mode if args.refine_mode

@@ -76,6 +76,93 @@ class Factor(NamedTuple):
     qp_mean: Optional[QPData] = None  # the factored QP (Woodbury base)
 
 
+def make_folded_m_op(cfg: PlannerConfig, qp: QPData, h_s, sigma,
+                     rho_inner: ConVec, D):
+    """Pre-folded apply of the scaled normal matrix M = H_s + sigma I +
+    (DA)^T E^2 rho (AD) for the refinement loop.
+
+    Identical math to `rhs - at_s(rho . a_s(x))` (each constraint row r
+    contributes (e_r^T v) e_r with e_r = sqrt(rho_r) E_r (row_r . D)), but
+    the D/E/rho scalings and masks are folded into the constraint data
+    ONCE per solve, so each apply reads one pre-scaled gradient tensor
+    instead of re-materializing scaled intermediates.
+
+    MEASURED NEGATIVE (SolverConfig.folded_refine stays False): on v5e
+    this form is equal to the default at batch 32 and 40% slower at
+    batch 128 (5643 vs 9330 solves/s) — XLA already fuses the scaled
+    round trip to its floor and the folded form's concats/rescales
+    fuse worse at large batch. Kept as an independently-tested
+    equivalent of the refinement operator (test_qp asserts 1e-7
+    agreement), and as the record of the experiment."""
+    H, W = cfg.horizon, cfg.mpc_window
+    NX, NU = qplib.NX, qplib.NU
+    ts = cfg.ts
+    Dx = D[:NX * H].reshape(H, NX)
+    Du = D[NX * H:].reshape(W, NU)
+
+    se = rho_inner.map(lambda r: jnp.sqrt(r))   # sqrt(rho) * E per row
+
+    # identity rows (state/control bounds) fold into a diagonal together
+    # with the scaled cost + sigma (applied on the scaled variable)
+    diag = h_s + sigma + qplib.merge_z((se.sb * Dx) ** 2,
+                                       (se.cb * Du) ** 2)
+    re_eq = rho_inner.eq                                   # (H,8)
+
+    # obstacle/FOV rows pre-folded: act reproduces at_matvec's row gate
+    # (inactive rows contribute nothing). NOTE: the dynamics rows stay in
+    # the closed-form shift form below — a first cut pre-folded them into
+    # per-step (8,8)/(8,5) blocks applied as batched small dots, which
+    # lowered to 8-wide matvecs padded to 128 MXU lanes and ran 4x SLOWER
+    # end to end (2021 vs 9330 solves/s at batch 128 — the same pathology
+    # as SolverConfig.block_refine).
+    eo = se.obs * qp.obs_active                            # (W,K)
+    Gh = qp.G * eo[..., None]                              # (W,K,3)
+    sl = eo * qp.obs_slack
+    sd = sl * qp.obs_dyn                                   # (W,K)
+    ss = sl * (1.0 - qp.obs_dyn)
+
+    def m_op(v):
+        # raw-variable view z' = D v: rows apply in reference closed
+        # form; the trailing D multiply restores the scaled-space
+        # transpose
+        X = Dx * v[:NX * H].reshape(H, NX)
+        U = Du * v[NX * H:].reshape(W, NU)
+        p, vl, dd = X[:, 0:3], X[:, 3:6], X[:, 6:8]
+        a, s = U[:, 0:3], U[:, 3:5]
+
+        # dynamics rows (a_matvec eq section), weighted by rho E^2
+        nxt_p = p[:-1] + ts * vl[:-1] + 0.5 * ts * ts * a - p[1:]
+        nxt_v = vl[:-1] + ts * a - vl[1:]
+        nxt_d = s - dd[1:]
+        eq = jnp.concatenate(
+            [-X[0:1], jnp.concatenate([nxt_p, nxt_v, nxt_d], axis=-1)],
+            axis=0)
+        w_eq = re_eq * eq                                  # (H,8)
+
+        # transpose of the eq rows (at_matvec eq section)
+        yX = jnp.zeros((H, NX)).at[0].add(-w_eq[0])
+        wn = w_eq[1:]                                      # (W,8)
+        atw = jnp.concatenate(
+            [wn[:, 0:3], ts * wn[:, 0:3] + wn[:, 3:6],
+             jnp.zeros((W, 2))], axis=-1)
+        yX = yX.at[:-1].add(atw)
+        yX = yX.at[1:].add(-wn)
+        yU = jnp.concatenate(
+            [0.5 * ts * ts * wn[:, 0:3] + ts * wn[:, 3:6], wn[:, 6:8]],
+            axis=-1)
+
+        # obstacle rows through the single pre-scaled gradient tensor
+        r = (jnp.einsum("wkd,wd->wk", Gh, p[:-1], precision=_PREC)
+             - sd * s[:, 0][:, None] - ss * s[:, 1][:, None])
+        yX = yX.at[:-1, 0:3].add(jnp.einsum("wk,wkd->wd", r, Gh,
+                                            precision=_PREC))
+        yU = yU.at[:, 3].add(-jnp.sum(r * sd, axis=-1))
+        yU = yU.at[:, 4].add(-jnp.sum(r * ss, axis=-1))
+        return diag * v + qplib.merge_z(Dx * yX, Du * yU)
+
+    return m_op
+
+
 def ruiz_equilibrate(cfg: PlannerConfig, qp: QPData, hdiag: jnp.ndarray,
                      iters: int) -> Scaling:
     """Ruiz equilibration of [P A^T; A 0] + OSQP cost scaling.
@@ -306,6 +393,11 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
 
             def m_op(x):  # noqa: F811 — block-structured refinement operator
                 return bc.block_apply(Dblk, Eblk, perm, x, n)
+
+            def m_residual(rhs, x):
+                return rhs - m_op(x)
+        elif scfg.folded_refine:
+            m_op = make_folded_m_op(cfg, qp, h_s, scfg.sigma, rho_inner, D)
 
             def m_residual(rhs, x):
                 return rhs - m_op(x)

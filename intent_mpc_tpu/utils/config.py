@@ -222,6 +222,20 @@ class SolverConfig:
                                       # 32 ms/cycle at batch 32), so the
                                       # closed-form round trip stays the
                                       # default refinement operator
+    folded_refine: bool = False       # refinement normal-operator apply
+                                      # with D/E/rho pre-folded into the
+                                      # constraint data once per solve
+                                      # (ops/admm.make_folded_m_op).
+                                      # MEASURED NEGATIVE on v5e: equal
+                                      # at batch 32 (6288 vs 6311
+                                      # solves/s), 40% SLOWER at batch
+                                      # 128 (5643 vs 9330) — XLA already
+                                      # fuses the scaled a_s/at_s round
+                                      # trip to its cost floor, and the
+                                      # folded form's concats/rescale
+                                      # passes break that fusion at
+                                      # large batch. Kept as a tested
+                                      # equivalent operator (test_qp)
     shared_refine_mode: str = "cg"    # x-update refinement recurrence:
                                       # "cg" preconditioned CG on this
                                       # candidate's normal system

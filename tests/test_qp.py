@@ -308,3 +308,34 @@ def test_adaptive_rho_recovers_bad_initialization():
         assert pos_err(adap) < pos_err(fixed) / 3.0, (rho0, pos_err(adap),
                                                       pos_err(fixed))
         assert 1e-3 < float(adap.rho_suggest) < 1.0
+
+
+def test_folded_refine_operator_matches_closed_form():
+    """make_folded_m_op is an algebraically-identical apply of the scaled
+    normal matrix (each row r contributing (e_r^T v) e_r): it must match
+    the production a_s/at_s round-trip operator to f32 rounding. (The
+    folded form is a measured perf negative — see its docstring — but it
+    independently pins the refinement operator's semantics.)"""
+    from intent_mpc_tpu.ops.admm import make_folded_m_op, ruiz_equilibrate
+    cfg = PlannerConfig(horizon=17, max_obstacles=6)
+    qp, _, _ = _build_both(cfg, 6, 4, seed=5, with_static=True)
+    hdiag = qplib.hessian_diag(cfg)
+    sc = ruiz_equilibrate(cfg, qp, hdiag, 3)
+    D, E, c = sc.D, sc.E, sc.c
+    h_s = c * D * D * hdiag
+    rho = qplib.rho_vec(cfg, qp, 0.1, 1e3)
+    rho_inner = rho.map(lambda r, e: r * e * e, E)
+    sigma = 1e-6
+
+    def m_apply(v):
+        a_s = qplib.a_matvec(cfg, qp, D * v).scale(E)
+        w = a_s.map(lambda a, ri: a * ri, rho)
+        return h_s * v + sigma * v + D * qplib.at_matvec(
+            cfg, qp, w.scale(E))
+
+    m_folded = make_folded_m_op(cfg, qp, h_s, sigma, rho_inner, D)
+    for seed in range(3):
+        v = jax.random.normal(jax.random.PRNGKey(seed), (cfg.num_vars,))
+        a = np.asarray(m_apply(v))
+        b = np.asarray(m_folded(v))
+        assert np.abs(a - b).max() <= 1e-5 * (np.abs(a).max() + 1.0)
