@@ -239,3 +239,81 @@ def esdf(occ: jnp.ndarray, resolution: float) -> jnp.ndarray:
     pos = edt(occ_b)
     neg = edt(~occ_b)
     return jnp.where(occ_b, -neg, pos)
+
+
+def load_pcd(path: str):
+    """Load an x/y/z point cloud from a .pcd file (the reference's
+    prebuilt-map format, occupancyMap.cpp initPrebuiltMap :399-475 via
+    pcl::io::loadPCDFile). Supports ASCII and binary little-endian PCD
+    v0.7 with float32 x/y/z leading fields. Returns (P, 3) numpy."""
+    import numpy as np
+    with open(path, "rb") as f:
+        header = {}
+        while True:
+            line = f.readline().decode("ascii", "ignore").strip()
+            if not line or line.startswith("#"):
+                continue
+            key, _, val = line.partition(" ")
+            header[key.upper()] = val
+            if key.upper() == "DATA":
+                break
+        fields = header.get("FIELDS", "x y z").split()
+        sizes = [int(s) for s in header.get(
+            "SIZE", " ".join(["4"] * len(fields))).split()]
+        counts = [int(c) for c in header.get(
+            "COUNT", " ".join(["1"] * len(fields))).split()]
+        n = int(header.get("POINTS", header.get("WIDTH", "0")))
+        mode = header["DATA"].split()[0]
+        stride = sum(s * c for s, c in zip(sizes, counts))
+        offs = {}
+        off = 0
+        for name, s, c in zip(fields, sizes, counts):
+            offs[name] = off
+            off += s * c
+        if not all(k in offs for k in ("x", "y", "z")):
+            raise ValueError(f"pcd missing x/y/z fields: {fields}")
+        if mode == "ascii":
+            rows = np.loadtxt(f, dtype=np.float64, max_rows=n, ndmin=2)
+            ix = [fields.index(k) for k in ("x", "y", "z")]
+            return np.ascontiguousarray(rows[:, ix], np.float32)
+        if mode == "binary":
+            raw = np.frombuffer(f.read(n * stride), np.uint8,
+                                count=n * stride).reshape(n, stride)
+            out = np.zeros((n, 3), np.float32)
+            for j, k in enumerate(("x", "y", "z")):
+                out[:, j] = raw[:, offs[k]:offs[k] + 4].copy().view("<f4")[:, 0]
+            return out
+        raise ValueError(f"unsupported pcd DATA mode: {mode}")
+
+
+def save_pcd(path: str, points) -> None:
+    """Write an ASCII x/y/z .pcd (round-trip partner of load_pcd)."""
+    import numpy as np
+    pts = np.asarray(points, np.float32)
+    with open(path, "w") as f:
+        f.write("# .PCD v0.7 - Point Cloud Data file format\n"
+                "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+                "COUNT 1 1 1\n"
+                f"WIDTH {len(pts)}\nHEIGHT 1\n"
+                "VIEWPOINT 0 0 0 1 0 0 0\n"
+                f"POINTS {len(pts)}\nDATA ascii\n")
+        for p in pts:
+            f.write(f"{p[0]} {p[1]} {p[2]}\n")
+
+
+def prebuilt_map_from_points(cfg: MappingConfig, m: LogOddsMap,
+                             points) -> LogOddsMap:
+    """initPrebuiltMap semantics: each cloud point's voxel is set to the
+    max log-odds (occupancyMap.cpp:428); robot-size inflation then comes
+    from the standard `inflate`/`to_occupancy_grid` path (the reference
+    inflates by ceil(robot/2 / res) boxes, which `inflate` reproduces)."""
+    import numpy as np
+    pts = jnp.asarray(np.asarray(points, np.float32))
+    idx = jnp.floor((pts - m.origin) / m.resolution).astype(jnp.int32)
+    dims = jnp.array(m.log_odds.shape)
+    inside = jnp.all((idx >= 0) & (idx < dims), axis=-1)
+    idx = jnp.clip(idx, 0, dims - 1)
+    lo = m.log_odds
+    val = jnp.where(inside, cfg.l_max, -jnp.inf)  # outside: no-op via max
+    lo = lo.at[idx[:, 0], idx[:, 1], idx[:, 2]].max(val)
+    return m._replace(log_odds=lo)

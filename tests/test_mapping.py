@@ -83,3 +83,32 @@ def test_save_load_roundtrip(tmp_path, cfg):
     np.testing.assert_allclose(np.asarray(m2.log_odds),
                                np.asarray(m.log_odds))
     np.testing.assert_allclose(float(m2.resolution), 0.2)
+
+
+def test_pcd_roundtrip_and_prebuilt_map(tmp_path):
+    """PCD save/load round trip + initPrebuiltMap semantics: point voxels
+    become max-log-odds occupied, inflation covers the robot box
+    (occupancyMap.cpp:399-475)."""
+    import numpy as np
+    from intent_mpc_tpu.models.mapping import (
+        MappingConfig, init_map, load_pcd, occupancy,
+        prebuilt_map_from_points, save_pcd, to_occupancy_grid)
+    from intent_mpc_tpu.models.occupancy import is_occupied
+
+    pts = np.array([[1.0, 1.0, 1.0], [2.5, 0.5, 1.5], [9.9, 9.9, 9.9]],
+                   np.float32)  # last point is outside the map
+    p = tmp_path / "prebuilt.pcd"
+    save_pcd(str(p), pts)
+    loaded = load_pcd(str(p))
+    np.testing.assert_allclose(loaded, pts, atol=1e-6)
+
+    cfg = MappingConfig(resolution=0.25)
+    m = init_map((0.0, 0.0, 0.0), (4.0, 4.0, 2.0), cfg)
+    m = prebuilt_map_from_points(cfg, m, loaded)
+    occ = np.asarray(occupancy(cfg, m))
+    assert occ[4, 4, 4] == 1           # voxel of (1,1,1)
+    assert occ[10, 2, 6] == 1          # voxel of (2.5,0.5,1.5)
+    assert occ.sum() == 2              # out-of-map point dropped
+    g = to_occupancy_grid(cfg, m, inflated=True)
+    assert bool(is_occupied(g, jnp.array([1.2, 1.0, 1.0])))  # inflated
+    assert not bool(is_occupied(g, jnp.array([3.5, 3.5, 0.5])))
