@@ -197,6 +197,9 @@ def box_iou(c1, s1, c2, s2) -> jnp.ndarray:
     return inter / jnp.maximum(v1 + v2 - inter, 1e-9)
 
 
+KF_AVG_FRAMES = 10   # kfAvgFrames_: velocity-observation FD window
+
+
 class Tracks(NamedTuple):
     """Padded track table (the detector's boxHist/filters, fixed shape)."""
     pos: jnp.ndarray      # (T, 3) filtered position
@@ -207,6 +210,9 @@ class Tracks(NamedTuple):
     dyn_votes: jnp.ndarray  # (T,) dynamic-classification vote accumulator
     miss: jnp.ndarray     # (T,) consecutive unmatched frames (coasting)
     live: jnp.ndarray     # (T,) bool
+    pos_hist: jnp.ndarray  # (T, KF_AVG_FRAMES, 3) filtered-position ring
+                           # (boxHist_, newest at index 0) for the k-frame
+                           # velocity observation
 
 
 def init_tracks(max_tracks: int) -> Tracks:
@@ -217,7 +223,8 @@ def init_tracks(max_tracks: int) -> Tracks:
                   age=jnp.zeros(T, jnp.int32),
                   dyn_votes=jnp.zeros(T),
                   miss=jnp.zeros(T, jnp.int32),
-                  live=jnp.zeros(T, bool))
+                  live=jnp.zeros(T, bool),
+                  pos_hist=jnp.zeros((T, KF_AVG_FRAMES, 3)))
 
 
 def track_step(tracks: Tracks, det_pos, det_size, det_valid, dt: float,
@@ -256,11 +263,17 @@ def track_step(tracks: Tracks, det_pos, det_size, det_valid, dt: float,
     matched = t2d >= 0
     det_idx = jnp.clip(t2d, 0, D - 1)
 
-    # KF update for matched tracks (const-vel model, observation = det pos
-    # + FD velocity vs previous filtered position)
+    # KF update for matched tracks (const-vel model). The velocity
+    # observation differences the detection against the filtered position
+    # k frames back over k*dt (getKalmanObservationVel,
+    # dynamicDetector.cpp:1999-2015 with kfAvgFrames) — a 1-frame FD
+    # against the lagging filtered state overshoots during ramp-in.
     A, B, H, Q, R = const_vel_matrices(dt)
     z_pos = det_pos[det_idx]
-    z_vel = (z_pos - tracks.pos) / dt
+    T_idx = jnp.arange(T)
+    k = jnp.clip(tracks.age, 1, KF_AVG_FRAMES)              # (T,)
+    prev = tracks.pos_hist[T_idx, k - 1]                    # (T,3)
+    z_vel = (z_pos - prev) / (dt * k[:, None])
     z = jnp.concatenate([z_pos, z_vel], axis=-1)            # (T,6)
     xk = jnp.concatenate([tracks.pos, tracks.vel], axis=-1)
 
@@ -309,8 +322,12 @@ def track_step(tracks: Tracks, det_pos, det_size, det_valid, dt: float,
     state = (new_pos, new_vel, new_size, new_P, age, votes, miss, live)
     state, _ = jax.lax.scan(open_slot, state, jnp.arange(D))
     pos, vel, size, P, age, votes, miss, live = state
+    # push the new filtered position into the per-track history ring;
+    # fresh tracks (age==1) seed the whole ring with their first position
+    hist = jnp.roll(tracks.pos_hist, 1, axis=1).at[:, 0].set(pos)
+    hist = jnp.where((age <= 1)[:, None, None], pos[:, None, :], hist)
     return Tracks(pos=pos, vel=vel, size=size, P=P, age=age,
-                  dyn_votes=votes, miss=miss, live=live)
+                  dyn_votes=votes, miss=miss, live=live, pos_hist=hist)
 
 
 def dynamic_obstacles(tracks: Tracks, vote_thresh: float = 2.0):
