@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from intent_mpc_tpu.models import poly_traj, pwl_traj
-from intent_mpc_tpu.models.occupancy import OccupancyGrid, is_occupied
+from intent_mpc_tpu.models.global_planner import occupied_at
+from intent_mpc_tpu.models.occupancy import OccupancyGrid
 
 
 class PolyPlanConfig(NamedTuple):
@@ -52,7 +53,10 @@ def _segment_collisions(cfg: PolyPlanConfig, tr: poly_traj.PolyTrajectory,
         fr = (jnp.arange(S) + 0.5) / S
         ts = t0 + (t1 - t0) * fr
         pts = jax.vmap(lambda t: poly_traj.sample(tr, t))(ts)
-        return jnp.any(is_occupied(occ, pts))
+        # occupied_at dispatch: the corridor planner runs over either the
+        # unified grid (polyTrajOccMap) or the octo backend
+        # (polyTrajOctomap's role, rrt-style)
+        return jnp.any(occupied_at(occ, pts))
 
     return jax.vmap(seg_hit)(jnp.arange(nseg))
 

@@ -151,3 +151,16 @@ def test_from_occupancy_grid_matches_grid_queries():
     # planner dispatch accepts both backends
     np.testing.assert_array_equal(np.asarray(occupied_at(g, pts)),
                                   np.asarray(occupied_at(o, pts)))
+
+
+def test_poly_planner_accepts_octo_backend():
+    """polyTrajOctomap's role: the min-snap corridor planner runs over the
+    octo backend through the same occupied_at dispatch as the RRT
+    planners."""
+    from intent_mpc_tpu.models import poly_planner
+    cfg, m = _observed_map_with_wall()
+    o = octo.from_log_odds(m, cfg, levels=3)
+    wps = jnp.array([[0.5, 1.0, 1.0], [0.5, 5.0, 1.0]])  # clear of the wall
+    res = poly_planner.plan(poly_planner.PolyPlanConfig(), wps,
+                            desired_vel=1.0, occ=o)
+    assert bool(res.valid)
