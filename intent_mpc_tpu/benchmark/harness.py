@@ -202,6 +202,9 @@ def main():  # pragma: no cover
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--fused", action="store_true",
                     help="solve with the VMEM-resident fleet kernel")
+    ap.add_argument("--plant", type=str, default=None,
+                    choices=["double_integrator", "quadrotor"],
+                    help="closed-loop plant (EngineConfig.plant)")
     ap.add_argument("--refine", type=int, default=None,
                     help="shared-factor refinement steps per x-update")
     ap.add_argument("--refine-mode", type=str, default=None,
@@ -226,7 +229,9 @@ def main():  # pragma: no cover
     cfg = cfg.replace(
         world=dataclasses.replace(cfg.world, num_obstacles=args.obstacles,
                                   dynamic_ratio=args.dynamic_ratio),
-        engine=dataclasses.replace(cfg.engine, timeout=args.timeout))
+        engine=dataclasses.replace(
+            cfg.engine, timeout=args.timeout,
+            plant=(args.plant if args.plant else cfg.engine.plant)))
     if args.max_obstacles is not None:
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, max_obstacles=args.max_obstacles))
