@@ -202,6 +202,9 @@ def main():  # pragma: no cover
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--fused", action="store_true",
                     help="solve with the VMEM-resident fleet kernel")
+    ap.add_argument("--dynamic-safety", type=float, default=None,
+                    help="dynamic obstacle safety distance (m), "
+                         "planner_param.yaml dynamic_safety_dist")
     ap.add_argument("--plant", type=str, default=None,
                     choices=["double_integrator", "quadrotor"],
                     help="closed-loop plant (EngineConfig.plant)")
@@ -235,6 +238,9 @@ def main():  # pragma: no cover
     if args.max_obstacles is not None:
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, max_obstacles=args.max_obstacles))
+    if args.dynamic_safety is not None:
+        cfg = cfg.replace(planner=dataclasses.replace(
+            cfg.planner, dynamic_safety_dist=args.dynamic_safety))
     if args.per_candidate_factor:
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, solver=dataclasses.replace(
