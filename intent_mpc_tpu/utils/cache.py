@@ -27,11 +27,25 @@ def _host_tag() -> str:
     cache per CPU-flag set so entries never cross machines."""
     try:
         with open("/proc/cpuinfo") as f:
+            flags = ""
+            ident = []
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha256(
-                        " ".join(sorted(line.split()[2:])).encode()
-                    ).hexdigest()[:12]
+                if line.startswith("flags") and not flags:
+                    flags = " ".join(sorted(line.split()[2:]))
+                # the flag set alone is NOT enough: LLVM derives tuning
+                # features (prefer-no-scatter/-gather) from the CPU
+                # MODEL, so two hosts with identical flags can produce
+                # incompatible AOT results (observed: a cache entry from
+                # a sibling machine segfaulted this host inside
+                # get_executable_and_time). Partition by model identity
+                # too.
+                if line.startswith(("model name", "vendor_id", "model\t",
+                                    "cpu family")) and len(ident) < 4:
+                    ident.append(line.strip())
+            if flags:
+                return hashlib.sha256(
+                    ("|".join(ident) + "||" + flags).encode()
+                ).hexdigest()[:12]
     except OSError:
         pass
     import platform
