@@ -61,21 +61,17 @@ def make_oracle_override(cfg: PlannerConfig, max_iter: int = 150,
         u6 = np.asarray(u6, np.float64)
         q6 = np.asarray(q6, np.float64)
         warm6 = np.asarray(warm6, np.float64)
-        C, m = A6.shape[0], A6.shape[1]
-        xs = np.zeros((C, n), np.float32)
-        ys = np.zeros((C, m), np.float32)
-        prim = np.zeros((C,), np.float32)
-        for i in range(C):
-            x0 = warm6[i] if np.any(warm6[i] != 0.0) else None
-            x, y, _status, _iters = native.solve_qp(
-                hdiag, q6[i], A6[i], l6[i], u6[i], max_iter=max_iter,
-                eps=eps, adapt_interval=adapt_interval, x0=x0)
-            ax = A6[i] @ x
-            z = np.clip(ax, l6[i], u6[i])
-            xs[i] = x.astype(np.float32)
-            ys[i] = y.astype(np.float32)
-            prim[i] = np.abs(ax - z).max()
-        return xs, ys, prim
+        # parallel native executor: all candidate QPs solve across
+        # std::thread workers in one call (imt_solve_qp_batch). A zero
+        # warm row is identical to a cold start inside the solver, so
+        # the per-row warm gate of the sequential path folds away.
+        xs64, ys64, _status, _iters = native.solve_qp_batch(
+            hdiag, q6, A6, l6, u6, max_iter=max_iter, eps=eps,
+            adapt_interval=adapt_interval, x0=warm6)
+        ax = np.einsum("cmn,cn->cm", A6, xs64)
+        z = np.clip(ax, l6, u6)
+        prim = np.abs(ax - z).max(axis=-1).astype(np.float32)
+        return (xs64.astype(np.float32), ys64.astype(np.float32), prim)
 
     def override(qps, warm6):
         A6 = jax.vmap(lambda qq: qplib.dense_a_matrix(cfg, qq))(qps)

@@ -15,6 +15,7 @@
 // build: g++ -O3 -march=native -shared -fPIC qp_solver.cpp -o libintentqp.so
 
 #include <algorithm>
+#include <thread>
 #include <cmath>
 #include <cstdlib>
 #include <cstring>
@@ -246,6 +247,43 @@ int imt_solve_qp(int n, int m, const double* h_diag, const double* q,
     for (int i = 0; i < m; ++i) y_out[i] = w.E[i] * y[i] / w.c;
     if (iters_out) *iters_out = it + 1;
     return status;
+}
+
+// Batched entry: solve nprob independent problems (shared diagonal cost,
+// per-problem q/A/l/u/x0) across std::thread workers — the native
+// executor for oracle-in-the-loop runs, where the 6 intent-candidate
+// QPs of every replan cycle were previously solved sequentially through
+// ctypes (benchmark/oracle_loop.py). Arrays are C-contiguous stacks.
+int imt_solve_qp_batch(int nprob, int n, int m, const double* h_diag,
+                       const double* q, const double* A,
+                       const double* l, const double* u,
+                       double rho0, double sigma, double alpha,
+                       int max_iter, double eps, int scaling,
+                       int adapt_interval,
+                       double* x_out, double* y_out,
+                       int* status_out, int* iters_out,
+                       const double* x0, int nthreads) {
+    if (nthreads <= 0) {
+        nthreads = (int)std::thread::hardware_concurrency();
+        if (nthreads <= 0) nthreads = 1;
+    }
+    if (nthreads > nprob) nthreads = nprob;
+    auto worker = [&](int t) {
+        for (int p = t; p < nprob; p += nthreads) {
+            const double* x0p = x0 ? x0 + (size_t)p * n : nullptr;
+            status_out[p] = imt_solve_qp(
+                n, m, h_diag, q + (size_t)p * n,
+                A + (size_t)p * m * n, l + (size_t)p * m,
+                u + (size_t)p * m, rho0, sigma, alpha, max_iter, eps,
+                scaling, adapt_interval, x_out + (size_t)p * n,
+                y_out + (size_t)p * m, iters_out + p, x0p);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 1; t < nthreads; ++t) pool.emplace_back(worker, t);
+    worker(0);
+    for (auto& th : pool) th.join();
+    return 0;
 }
 
 }  // extern "C"

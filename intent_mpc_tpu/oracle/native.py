@@ -51,6 +51,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
         dp, dp, ctypes.POINTER(ctypes.c_int), dp]
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.imt_solve_qp_batch.restype = ctypes.c_int
+    lib.imt_solve_qp_batch.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        dp, dp, ip, ip, dp, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -94,3 +101,42 @@ def solve_qp(h_diag, q, A, l, u, rho=0.1, sigma=1e-6, alpha=1.6,
                               adapt_interval, p(x), p(y),
                               ctypes.byref(iters), x0p)
     return x, y, status, iters.value
+
+
+def solve_qp_batch(h_diag, q, A, l, u, rho=0.1, sigma=1e-6, alpha=1.6,
+                   max_iter=4000, eps=1e-9, scaling=10, adapt_interval=25,
+                   x0=None, nthreads=0):
+    """Batched solve_qp over stacked problems (q (P,n), A (P,m,n),
+    l/u (P,m), optional x0 (P,n)) with std::thread workers in the native
+    library — the parallel executor for oracle-in-the-loop runs.
+    Returns (x (P,n), y (P,m), status (P,), iters (P,))."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native QP solver unavailable: {_build_error}")
+    h_diag = np.ascontiguousarray(h_diag, np.float64)
+    q = np.ascontiguousarray(q, np.float64)
+    A = np.ascontiguousarray(A, np.float64)
+    l = np.ascontiguousarray(l, np.float64)
+    u = np.ascontiguousarray(u, np.float64)
+    P, m, n = A.shape
+    x = np.zeros((P, n))
+    y = np.zeros((P, m))
+    status = np.zeros(P, np.int32)
+    iters = np.zeros(P, np.int32)
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int)
+
+    def p(a):
+        return a.ctypes.data_as(dp)
+
+    if x0 is not None:
+        x0 = np.ascontiguousarray(x0, np.float64)
+        x0p = p(x0)
+    else:
+        x0p = ctypes.cast(None, dp)
+    lib.imt_solve_qp_batch(P, n, m, p(h_diag), p(q), p(A), p(l), p(u),
+                           rho, sigma, alpha, max_iter, eps, scaling,
+                           adapt_interval, p(x), p(y),
+                           status.ctypes.data_as(ip),
+                           iters.ctypes.data_as(ip), x0p, nthreads)
+    return x, y, status, iters
