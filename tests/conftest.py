@@ -30,11 +30,17 @@ enable_compilation_cache()
 import pytest  # noqa: E402
 
 # ---------------------------------------------------------------------------
-# Two-tier suite: `pytest -m "not slow"` is the <2 min smoke gate; the full
-# suite is the thorough gate. Tests measured >~12 s on the CPU mesh (cold
-# compilation cache) are marked slow here, by function name, so the split
-# lives in one place. test_episode_reaches_goal_clear_path stays fast-tier
-# on purpose: the smoke gate keeps one full closed-loop episode.
+# Two-tier suite: `pytest -m "not slow"` is the smoke gate (~2-4 min);
+# `pytest -m slow` is the thorough gate (~10 min). RUN THE TIERS AS
+# SEPARATE PROCESSES: one pytest process accumulating every compiled
+# program in the suite eventually segfaults inside XLA:CPU's compiler on
+# this image (observed twice at the same suite position, once in the
+# cache-load path and once in backend_compile_and_load — an XLA host
+# issue, not a test bug; each tier passes cleanly in its own process).
+# Tests measured >~12 s on the CPU mesh (cold compilation cache) are
+# marked slow here, by function name, so the split lives in one place.
+# test_episode_reaches_goal_clear_path stays fast-tier on purpose: the
+# smoke gate keeps one full closed-loop episode.
 # ---------------------------------------------------------------------------
 _SLOW_TESTS = {
     "test_checkpoint_resume_bit_exact",
