@@ -16,6 +16,8 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
 _SRC = os.path.join(_NATIVE_DIR, "qp_solver.cpp")
+_SRC2 = os.path.join(_NATIVE_DIR, "closed_loop.cpp")
+_INC = os.path.join(_NATIVE_DIR, "closed_loop_engine.inc")
 _LIB = os.path.join(_NATIVE_DIR, "libintentqp.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -23,8 +25,8 @@ _build_error: Optional[str] = None
 
 
 def _build() -> Optional[str]:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-           "-o", _LIB]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+           _SRC, _SRC2, "-o", _LIB]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except Exception as e:  # pragma: no cover
@@ -38,8 +40,9 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_error
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB) or (
-            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+    if not os.path.exists(_LIB) or any(
+            os.path.getmtime(_LIB) < os.path.getmtime(f)
+            for f in (_SRC, _SRC2, _INC)):
         _build_error = _build()
         if _build_error:
             return None
@@ -58,6 +61,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
         dp, dp, ip, ip, dp, ctypes.c_int]
+    lib.imt_run_episode.restype = ctypes.c_int
+    lib.imt_run_episode.argtypes = [
+        ctypes.c_uint32, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+        ctypes.c_int, dp]
+    lib.imt_world_probe.restype = ctypes.c_int
+    lib.imt_world_probe.argtypes = [ctypes.c_uint32, ctypes.c_int,
+                                    ctypes.c_double, ctypes.c_double,
+                                    dp, dp, dp]
+    lib.imt_intent_probe.restype = ctypes.c_int
+    lib.imt_intent_probe.argtypes = [dp, dp, ctypes.c_int, dp]
     _lib = lib
     return lib
 
@@ -140,3 +154,57 @@ def solve_qp_batch(h_diag, q, A, l, u, rho=0.1, sigma=1e-6, alpha=1.6,
                            status.ctypes.data_as(ip),
                            iters.ctypes.data_as(ip), x0p, nthreads)
     return x, y, status, iters
+
+
+_EP_FIELDS = ("goal_reached", "travel_time", "collision", "path_length",
+              "min_obstacle_distance", "vel_violations", "acc_violations",
+              "jerk_violations", "samples", "jerk_samples", "max_velocity",
+              "solve_attempts", "solve_successes")
+
+
+def run_native_episode(seed: int, num_obstacles: int = 200,
+                       dynamic_ratio: float = 0.65, timeout: float = 60.0,
+                       max_obstacles: int = 64, max_iter: int = 150,
+                       eps: float = 1e-3, adapt_interval: int = 50,
+                       nthreads: int = 6) -> dict:
+    """Run one full benchmark trial entirely in the native C++ runtime
+    (native/closed_loop.cpp): world -> detector -> predictor ->
+    6-candidate QP planning -> scoring -> controller -> metrics, with the
+    f64 solver. The system-level oracle, independent of JAX."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native runtime unavailable: {_build_error}")
+    out = np.zeros(13)
+    dp = ctypes.POINTER(ctypes.c_double)
+    rc = lib.imt_run_episode(seed, num_obstacles, dynamic_ratio, timeout,
+                             max_obstacles, max_iter, eps, adapt_interval,
+                             nthreads, out.ctypes.data_as(dp))
+    if rc != 0:
+        raise RuntimeError(f"imt_run_episode failed: {rc}")
+    d = dict(zip(_EP_FIELDS, out.tolist()))
+    d["goal_reached"] = bool(d["goal_reached"])
+    d["collision"] = bool(d["collision"])
+    return d
+
+
+def native_world_probe(seed: int, n: int, dynamic_ratio: float, t: float):
+    lib = _load()
+    out_p = np.zeros((n, 3))
+    out_b = np.zeros((n, 3))
+    out_s = np.zeros(n)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.imt_world_probe(seed, n, dynamic_ratio, t,
+                        out_p.ctypes.data_as(dp), out_b.ctypes.data_as(dp),
+                        out_s.ctypes.data_as(dp))
+    return out_p, out_b, out_s.astype(bool)
+
+
+def native_intent_probe(pos_hist, vel_hist):
+    lib = _load()
+    ph = np.ascontiguousarray(pos_hist, np.float64)
+    vh = np.ascontiguousarray(vel_hist, np.float64)
+    out = np.zeros(4)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.imt_intent_probe(ph.ctypes.data_as(dp), vh.ctypes.data_as(dp),
+                         ph.shape[0], out.ctypes.data_as(dp))
+    return out
