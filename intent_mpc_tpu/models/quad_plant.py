@@ -212,7 +212,21 @@ def quad_step(cfg: QuadPlantConfig, st: QuadState, acc_cmd, yaw_cmd,
     fz = m * (fz_pid + load_factor * g)
     fz = jnp.clip(fz, 0.0, cfg.max_force)
 
-    # --- substepped rigid-body integration (Gazebo physics step) ---
+    pos, vel, quat, omega = _integrate(cfg, st, fz, torque, dt)
+    return QuadState(
+        pos=pos, vel=vel, quat=quat, omega=omega,
+        prev_vel=st.vel, prev_body_acc=body_acc,
+        pid_acc_x=pid_acc_x, pid_acc_y=pid_acc_y, pid_acc_z=pid_acc_z,
+        pid_roll=pid_roll, pid_pitch=pid_pitch, pid_yaw=pid_yaw,
+        pid_yaw_angle=pid_yaw_angle)
+
+
+def _integrate(cfg: QuadPlantConfig, st: QuadState, fz, torque, dt: float):
+    """Substepped rigid-body integration (the Gazebo physics step):
+    semi-implicit Euler with the gyroscopic term and quaternion attitude."""
+    m = cfg.mass
+    inertia = jnp.asarray(cfg.inertia, jnp.float32)
+    gw = jnp.array([0.0, 0.0, -cfg.gravity])
     h = dt / cfg.substeps
     pos, vel, quat, omega = st.pos, st.vel, st.quat, st.omega
     for _ in range(cfg.substeps):
@@ -225,10 +239,28 @@ def quad_step(cfg: QuadPlantConfig, st: QuadState, acc_cmd, yaw_cmd,
         dq = _quat_mul(quat, jnp.concatenate([jnp.zeros(1), omega]))
         quat = quat + 0.5 * dq * h
         quat = quat / jnp.linalg.norm(quat)
+    return pos, vel, quat, omega
 
-    return QuadState(
-        pos=pos, vel=vel, quat=quat, omega=omega,
-        prev_vel=st.vel, prev_body_acc=body_acc,
-        pid_acc_x=pid_acc_x, pid_acc_y=pid_acc_y, pid_acc_z=pid_acc_z,
-        pid_roll=pid_roll, pid_pitch=pid_pitch, pid_yaw=pid_yaw,
-        pid_yaw_angle=pid_yaw_angle)
+
+def quad_step_bodyrate(cfg: QuadPlantConfig, st: QuadState, rate_sp,
+                       thrust_pct, hover_thrust, dt: float,
+                       rate_p: float = 20.0) -> QuadState:
+    """One control tick consuming the tracking controller's BODY-RATE
+    output mode (controller.body_rate_command: rates + thrust percent,
+    trackingController.cpp:525-550). The inner rate loop — which PX4's
+    rate controller provides on the real vehicle and the Gazebo plugin's
+    yaw/rollpitch PIDs approximate — is a rate P-loop here; thrust
+    percent maps through the hover calibration: Fz = pct * m*g/hover
+    (hover pct commands exactly weight)."""
+    inertia = jnp.asarray(cfg.inertia, jnp.float32)
+    torque = inertia * rate_p * (jnp.asarray(rate_sp) - st.omega)
+    fz = jnp.clip(thrust_pct, 0.0, 1.0) \
+        * (cfg.mass * cfg.gravity / hover_thrust)
+    fz = jnp.clip(fz, 0.0, cfg.max_force)
+    # FD bookkeeping as in the acc branch
+    acc_world = (st.vel - st.prev_vel) / dt
+    R = _quat_to_mat(st.quat)
+    body_acc = R.T @ acc_world
+    pos, vel, quat, omega = _integrate(cfg, st, fz, torque, dt)
+    return st._replace(pos=pos, vel=vel, quat=quat, omega=omega,
+                       prev_vel=st.vel, prev_body_acc=body_acc)

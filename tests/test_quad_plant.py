@@ -99,3 +99,45 @@ def test_engine_quadrotor_plant_reaches_goal():
     assert not s["collision"], s
     # attitude state actually moved (the plant was in the loop)
     assert float(jnp.abs(carry.quad.quat[2])) > 1e-5  # pitched en route
+
+
+@pytest.mark.slow
+def test_attitude_bodyrate_modes_close_the_loop():
+    """The controller's attitude + body-rate output chain
+    (acc PID -> acc_to_attitude -> body_rate_command) flies the
+    rigid body to a position step, and the hover-thrust Kalman filter
+    calibrates toward the plant's true hover fraction
+    (trackingController.cpp:279-370, :500-550)."""
+    from intent_mpc_tpu.models import controller as ct
+    from intent_mpc_tpu.models.quad_plant import quad_step_bodyrate
+
+    cfg = QuadPlantConfig()
+    true_hover = 0.62          # plant thrust calibration
+    est = ct.init_thrust_estimator(0.7)
+    cst = ct.init_controller()
+    st = quad_init((0.0, 0.0, 2.0))
+    target = jnp.array([1.0, -0.5, 2.5])
+    dt = 0.01
+    ccfg = __import__("intent_mpc_tpu.utils.config",
+                      fromlist=["ControlConfig"]).ControlConfig()
+    prev_vel = st.vel
+    for k in range(1000):
+        acc_cmd, cst = ct.acc_command(ccfg, cst, st.pos, st.vel, target,
+                                      jnp.zeros(3), jnp.zeros(3), dt)
+        acc_ref = acc_cmd + jnp.array([0.0, 0.0, ct.GRAVITY])
+        q_ref = ct.acc_to_attitude(acc_ref, jnp.zeros(()))
+        cmd = ct.body_rate_command(st.quat, q_ref, acc_ref,
+                                   float(est.hover_thrust))
+        prev_vel = st.vel
+        st = quad_step_bodyrate(cfg, st, cmd[0:3], cmd[3],
+                                true_hover, dt)
+        if k % 5 == 0 and k > 0:
+            # accelerometer-convention measurement: kinematic a_z + g
+            az = float((st.vel - prev_vel)[2] / dt) + ct.GRAVITY
+            est = ct.thrust_estimate_step(est, cmd[3], az)
+    err = float(jnp.linalg.norm(st.pos - target))
+    assert err < 0.25, (np.asarray(st.pos), err)
+    assert float(jnp.linalg.norm(st.vel)) < 0.3
+    # estimator moved toward the plant's true hover fraction
+    assert abs(float(est.hover_thrust) - true_hover) < \
+        abs(0.7 - true_hover), float(est.hover_thrust)
