@@ -118,8 +118,8 @@ def test_attitude_bodyrate_modes_close_the_loop():
     st = quad_init((0.0, 0.0, 2.0))
     target = jnp.array([1.0, -0.5, 2.5])
     dt = 0.01
-    ccfg = __import__("intent_mpc_tpu.utils.config",
-                      fromlist=["ControlConfig"]).ControlConfig()
+    from intent_mpc_tpu.utils.config import ControlConfig
+    ccfg = ControlConfig()
     prev_vel = st.vel
     for k in range(1000):
         acc_cmd, cst = ct.acc_command(ccfg, cst, st.pos, st.vel, target,
