@@ -94,6 +94,82 @@ def make_oracle_override(cfg: PlannerConfig, max_iter: int = 150,
     return override
 
 
+def make_osqp_override(cfg: PlannerConfig, time_limit: float = 0.05,
+                       eps_abs: float = 1e-3, eps_rel: float = 1e-3,
+                       max_iter: int = 4000):
+    """solve_override that flies the closed loop on the reference's ACTUAL
+    vendored libosqp.so (oracle/osqp_ref.py) at the reference's exact
+    runtime protocol (mpcPlanner.cpp:439-527):
+
+      - OSQP 0.6.2 defaults (eps 1e-3, adaptive rho, check_termination 25,
+        polish OFF — constants.h POLISH(0), never overridden)
+      - verbose off, warm_start on
+      - fresh osqp_setup per candidate solve (the reference constructs a
+        new OsqpEigen::Solver inside solveTraj every call)
+      - warm primal = previous best solution, warm dual = zeros
+        (setWarmStart at mpcPlanner.cpp:489-509; zeros on firstTime)
+      - time_limit = solver_time_limit (0.05 s) EXCEPT on the first solve
+        (firstTime_ gate at :442-444). A zero warm row marks first-time:
+        the engine feeds zeros until a solution exists, and a real
+        solution is never exactly all-zero.
+      - any non-error exit is accepted and executed (the reference only
+        checks the OsqpEigen error flag, :512-520 — time-limit/max-iter
+        iterates fly)
+    """
+    from intent_mpc_tpu.oracle import osqp_ref
+    if not osqp_ref.available():
+        raise RuntimeError("vendored libosqp.so unavailable")
+
+    hdiag = np.asarray(qplib.hessian_diag(cfg), np.float64)
+    P = np.diag(hdiag)
+    n = cfg.num_vars
+
+    def host_solve(A6, l6, u6, q6, warm6):
+        A6 = np.asarray(A6, np.float64)
+        l6 = np.asarray(l6, np.float64)
+        u6 = np.asarray(u6, np.float64)
+        q6 = np.asarray(q6, np.float64)
+        warm6 = np.asarray(warm6, np.float64)
+        C = A6.shape[0]
+        xs = np.zeros((C, n))
+        ys = np.zeros((C, A6.shape[1]))
+        for c in range(C):
+            first = not np.any(warm6[c])
+            r = osqp_ref.solve(
+                P, q6[c], A6[c], l6[c], u6[c], eps_abs=eps_abs,
+                eps_rel=eps_rel, max_iter=max_iter,
+                time_limit=0.0 if first else time_limit,
+                warm_x=warm6[c])
+            xs[c] = r["x"]
+            ys[c] = r["y"]
+        ax = np.einsum("cmn,cn->cm", A6, xs)
+        z = np.clip(ax, l6, u6)
+        prim = np.abs(ax - z).max(axis=-1).astype(np.float32)
+        return (xs.astype(np.float32), ys.astype(np.float32), prim)
+
+    def override(qps, warm6):
+        A6 = jax.vmap(lambda qq: qplib.dense_a_matrix(cfg, qq))(qps)
+        l6 = jax.vmap(lambda qq: qplib.con_to_flat(qq.l))(qps)
+        u6 = jax.vmap(lambda qq: qplib.con_to_flat(qq.u))(qps)
+        C, m = A6.shape[0], A6.shape[1]
+        K = qps.G.shape[2]
+        shapes = (jax.ShapeDtypeStruct((C, n), jnp.float32),
+                  jax.ShapeDtypeStruct((C, m), jnp.float32),
+                  jax.ShapeDtypeStruct((C,), jnp.float32))
+        xs, ys, prim = jax.pure_callback(host_solve, shapes, A6, l6, u6,
+                                         qps.q, warm6)
+        y_con = jax.vmap(lambda v: qplib.flat_to_con(v, cfg, K))(ys)
+        return ADMMResult(
+            x=xs, y=y_con, prim_res=prim,
+            # accept-any-iterate: the reference executes whatever OSQP
+            # returns on a non-error exit, including time-limit iterates
+            dual_res=jnp.full_like(prim, jnp.nan),
+            solved=jnp.ones_like(prim, bool),
+            rho_suggest=jnp.full_like(prim, cfg.solver.rho))
+
+    return override
+
+
 def build_cfg(args) -> IntentMPCConfig:
     cfg = IntentMPCConfig()
     planner = dataclasses.replace(cfg.planner,
@@ -121,6 +197,15 @@ def main():  # pragma: no cover
     ap.add_argument("--runtime-iters", type=int, default=None,
                     help="f32 runtime ADMM iterations (default: config)")
     ap.add_argument("--skip-runtime", action="store_true")
+    ap.add_argument("--solver", choices=["native", "osqp"],
+                    default="native",
+                    help="'native' = self-built f64 oracle; 'osqp' = the "
+                         "reference's vendored libosqp.so at the "
+                         "reference's runtime settings (warm start, "
+                         "0.05 s time limit, OSQP defaults)")
+    ap.add_argument("--time-limit", type=float, default=0.05,
+                    help="per-candidate OSQP time limit (planner_param."
+                         "yaml solver_time_limit; 0 disables)")
     ap.add_argument("--out", type=str, default="results/oracle_loop")
     args = ap.parse_args()
 
@@ -136,8 +221,13 @@ def main():  # pragma: no cover
     cfg = build_cfg(args)
     ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)
     traj_len = jnp.asarray(ref.shape[0])
-    override = make_oracle_override(cfg.planner, max_iter=args.oracle_iters,
-                                    eps=args.eps)
+    if args.solver == "osqp":
+        override = make_osqp_override(cfg.planner,
+                                      time_limit=args.time_limit)
+    else:
+        override = make_oracle_override(cfg.planner,
+                                        max_iter=args.oracle_iters,
+                                        eps=args.eps)
 
     os.makedirs(args.out, exist_ok=True)
     oracle_rows = []
@@ -159,7 +249,9 @@ def main():  # pragma: no cover
                       "max_obstacles": args.max_obstacles,
                       "timeout": args.timeout,
                       "oracle_iters": args.oracle_iters,
-                      "eps": args.eps, "seeds": args.seeds},
+                      "eps": args.eps, "seeds": args.seeds,
+                      "solver": args.solver,
+                      "time_limit": args.time_limit},
            "oracle": H.aggregate(oracle_rows),
            "oracle_rows": oracle_rows}
 

@@ -73,6 +73,8 @@ _SLOW_TESTS = {
     "test_fleet_kernel_matches_xla_shared_path",
     "test_fleet_kernel_in_engine_vmap",
     "test_adaptive_rho_recovers_bad_initialization",
+    "test_horizon30_real_osqp_anchors_parity",
+    "test_real_osqp_closed_loop_short_episode",
 }
 
 
