@@ -118,6 +118,39 @@ def test_horizon30_real_osqp_anchors_parity():
     assert acc_f32 < 1e-1, f"f32 pipeline vs real OSQP: acc {acc_f32:.2e}"
 
 
+def test_real_osqp_fleet_artifact_brackets_runtime():
+    """Pin the 8-seed real-OSQP closed-loop artifact (results/osqp_loop,
+    produced by `oracle_loop.py --solver osqp --max-obstacles 64`) and its
+    headline reading: the reference's actual solver at the reference's
+    runtime settings flies with violation rates BETWEEN the f32 runtime
+    and the converged f64 oracle, with 100% success / 0 collisions —
+    i.e. the commanded-limit violations are formulation-inherent and the
+    fixed-iteration budget reproduces the reference's truncated-solve
+    flight regime (RESULTS.md round-3 anchor table)."""
+    import json
+    import os
+    base = os.path.join(os.path.dirname(__file__), "..", "results")
+    path = os.path.join(base, "osqp_loop", "summary.json")
+    if not os.path.exists(path):
+        pytest.skip("results/osqp_loop artifact not present")
+    d = json.load(open(path))
+    assert d["config"]["solver"] == "osqp"
+    assert d["config"]["max_obstacles"] == 64
+    assert len(d["config"]["seeds"]) >= 8
+    agg = d["oracle"]
+    assert agg["success_rate"] == 1.0
+    assert agg["collision_rate"] == 0.0
+    # between the f32 runtime (0.50 on the same seeds) and the converged
+    # f64 oracle (0.66) — generous band so reruns with solver-timing
+    # jitter (the 0.05 s wall-clock limit is host-speed-dependent) pass
+    assert 0.45 < agg["vel_violation_rate"] < 0.66, agg
+    oracle_path = os.path.join(base, "oracle_loop_cap64", "summary.json")
+    if os.path.exists(oracle_path):
+        conv = json.load(open(oracle_path))["oracle"]
+        assert agg["vel_violation_rate"] < conv["vel_violation_rate"]
+        assert agg["jerk_violation_rate"] < conv["jerk_violation_rate"]
+
+
 @needs_osqp
 def test_real_osqp_closed_loop_short_episode():
     """Fly a short closed-loop episode with the REAL OSQP as the candidate
