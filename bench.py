@@ -36,6 +36,9 @@ def main():
                     help="force jax platform (e.g. cpu)")
     ap.add_argument("--latency", action="store_true",
                     help="also measure per-cycle dispatch latency (p50/p99)")
+    ap.add_argument("--roofline", action="store_true",
+                    help="report achieved FLOP/s and HBM bytes/s vs chip "
+                         "peaks from XLA's compiled-program cost analysis")
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax profiler trace to this directory")
     ap.add_argument("--fused", action="store_true",
@@ -146,6 +149,11 @@ def main():
           f"obstacles={args.obstacles} elapsed={elapsed:.3f}s "
           f"cycle={cycle_ms:.1f}ms compile={compile_time:.1f}s "
           f"device={jax.devices()[0].platform}", file=sys.stderr)
+
+    if args.roofline:
+        from intent_mpc_tpu.benchmark.roofline import report
+        report(cfg, args.batch, args.cycles, elapsed,
+               iters=args.iters or cfg.planner.solver.max_iter)
 
     if args.latency:
         # per-replan-cycle latency (the 100 ms real-time budget;
