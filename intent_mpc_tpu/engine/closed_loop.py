@@ -32,7 +32,8 @@ from intent_mpc_tpu.models.controller import (ControllerState, acc_command,
                                               init_controller)
 from intent_mpc_tpu.models.quad_plant import (QuadPlantConfig, QuadState,
                                               quad_init, quad_step)
-from intent_mpc_tpu.models.occupancy import OccupancyGrid, empty_grid
+from intent_mpc_tpu.models.occupancy import (OccupancyGrid, empty_grid,
+                                             is_occupied)
 from intent_mpc_tpu.models.world import Scenario, obstacle_state
 from intent_mpc_tpu.utils.config import IntentMPCConfig
 
@@ -59,6 +60,8 @@ class Metrics(NamedTuple):
     solve_successes: jnp.ndarray
     prim_res_sum: jnp.ndarray     # accumulated chosen-candidate residuals
     prim_res_max: jnp.ndarray
+    traj_collision_cycles: jnp.ndarray  # replanCheckCB monitor hits
+    stop_replans: jnp.ndarray     # goal-mode stop+replan events (:474-480)
 
 
 def init_metrics() -> Metrics:
@@ -73,7 +76,8 @@ def init_metrics() -> Metrics:
         max_velocity=z, max_acceleration=z, sum_velocity=z, n_vel_valid=zi,
         jerk_sq_sum=z, jerk_abs_sum=z,
         solve_attempts=zi, solve_successes=zi,
-        prim_res_sum=z, prim_res_max=z)
+        prim_res_sum=z, prim_res_max=z,
+        traj_collision_cycles=zi, stop_replans=zi)
 
 
 class EngineCarry(NamedTuple):
@@ -90,8 +94,13 @@ class EngineCarry(NamedTuple):
     stop_pos: jnp.ndarray
     repeats_left: jnp.ndarray    # int32 path repetitions remaining
     tracking_start: jnp.ndarray  # time the current tracking round began
-    yaw: jnp.ndarray             # heading (follows trajectory direction,
-                                 # trajExeCB :543-555; feeds FOV rows)
+    yaw: jnp.ndarray             # heading (reference look-ahead yaw,
+                                 # trajExeCB :536-553; feeds FOV rows)
+    ref_anchor: jnp.ndarray      # (3,) goal-mode reference start: reset to
+                                 # the stop position on stop+replan (the
+                                 # reference rebuilds its input traj from
+                                 # current odom -> goal, mpcCB :268-288);
+                                 # unused in predefined-goal mode
     quad: QuadState              # rigid-body plant state (used when
                                  # EngineConfig.plant == "quadrotor";
                                  # pos/vel mirror it then)
@@ -116,6 +125,7 @@ def init_carry(cfg: IntentMPCConfig, scenario: Scenario) -> EngineCarry:
         repeats_left=jnp.asarray(cfg.engine.repeat_path, jnp.int32),
         tracking_start=jnp.zeros((), jnp.float32),
         yaw=jnp.zeros((), jnp.float32),
+        ref_anchor=start,
         quad=quad_init(start),
         done=jnp.asarray(False),
         metrics=init_metrics())
@@ -127,6 +137,65 @@ def _aabb_distance(p: jnp.ndarray, centers: jnp.ndarray,
     run_mpc_benchmark.py:352-381 check_collisions."""
     gap = jnp.maximum(jnp.abs(p[None, :] - centers) - bbox / 2.0, 0.0)
     return jnp.linalg.norm(gap, axis=-1)
+
+
+def committed_collision(cfg: IntentMPCConfig, planner: mpclib.PlannerState,
+                        occ: OccupancyGrid, elapsed: jnp.ndarray,
+                        obs_pos: jnp.ndarray, obs_size: jnp.ndarray,
+                        visible: jnp.ndarray) -> jnp.ndarray:
+    """replanCheckCB's committed-trajectory monitor.
+
+    mpcHasCollision (mpcNavigation.cpp:631-656): sample the EXECUTING
+    solution at ts steps from startTime = min(1, elapsed) to
+    min(startTime + 2, horizon*ts) and test the static inflated map.
+    hasDynamicCollision (:669-700): same sweep over a 1 s window, AABB
+    membership against the detector's current (robot-size-inflated,
+    range-filtered) obstacle boxes. Either -> collision flagged."""
+    p = cfg.planner
+    ts = p.ts
+    t_start = jnp.minimum(1.0, elapsed)
+    t_end = p.horizon * ts
+    tj = t_start + ts * jnp.arange(p.horizon + 1, dtype=jnp.float32)
+    pj = jax.vmap(lambda t: mpclib.sample_pos(p, planner.states_sol, t))(tj)
+    static_m = tj <= jnp.minimum(t_start + 2.0, t_end)
+    dyn_m = tj <= jnp.minimum(t_start + 1.0, t_end)
+    occ_hit = jax.vmap(lambda q: is_occupied(occ, q))(pj)
+    static_hit = jnp.any(occ_hit & static_m)
+    lo = obs_pos - obs_size / 2.0
+    hi = obs_pos + obs_size / 2.0
+    inside = jnp.all((pj[:, None, :] >= lo[None]) &
+                     (pj[:, None, :] <= hi[None]), axis=-1)
+    dyn_hit = jnp.any(inside & visible[None, :] & dyn_m[:, None])
+    return static_hit | dyn_hit
+
+
+def goal_region_occupied(occ: OccupancyGrid, goal: jnp.ndarray) -> jnp.ndarray:
+    """goalHasCollision (mpcNavigation.cpp:612-629): dense +-0.5 m grid at
+    0.1 m steps around the goal against the static inflated map."""
+    off = jnp.arange(-0.5, 0.5 + 1e-6, 0.1, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(off, off, off, indexing="ij")
+    pts = goal[None, :] + jnp.stack(
+        [gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
+    return jnp.any(jax.vmap(lambda q: is_occupied(occ, q))(pts))
+
+
+def _lookahead_yaw(cfg: IntentMPCConfig, planner: mpclib.PlannerState,
+                   t_traj: jnp.ndarray, cur_yaw: jnp.ndarray,
+                   update_ok: jnp.ndarray) -> jnp.ndarray:
+    """trajExeCB yaw smoothing (mpcNavigation.cpp:536-553): target yaw
+    points at the first stored-reference point >= yaw_lookahead metres
+    from getRef(t); if no such point within the horizon, hold yaw."""
+    p = cfg.planner
+    dist = cfg.engine.yaw_lookahead
+    ref0 = mpclib.sample_ref(p, planner.xref, t_traj)
+    tj = t_traj + p.ts * jnp.arange(p.horizon + 1, dtype=jnp.float32)
+    pj = jax.vmap(lambda t: mpclib.sample_ref(p, planner.xref, t))(tj)
+    far = (jnp.linalg.norm(pj - ref0[None, :], axis=-1) >= dist) \
+        & (tj <= p.horizon * p.ts)
+    j = jnp.argmax(far)                      # first True
+    tgt = pj[j]
+    yaw_new = jnp.arctan2(tgt[1] - ref0[1], tgt[0] - ref0[0])
+    return jnp.where(update_ok & jnp.any(far), yaw_new, cur_yaw)
 
 
 def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
@@ -153,12 +222,46 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
     pos_h, vel_h, acc_h, size_h, hist_len, visible = det.query_history(
         cfg.detector, d, scenario.bbox, carry.pos)
 
+    # ---- replan-check collision monitor (replanCheckCB :414-422, :460-480) ----
+    false = jnp.asarray(False)
+    if ecfg.replan_check:
+        elapsed = (carry.traj_age.astype(jnp.float32) + 1.0) * cycle_dt
+        traj_hit = carry.traj_ready & active & committed_collision(
+            cfg, carry.planner, occ, elapsed, pos_h[:, 0], size_h[:, 0],
+            visible)
+    else:
+        traj_hit = false
+    if ecfg.goal_mode:
+        # goal mode: collision in the committed trajectory -> stop(),
+        # discard it, replan from hover (:474-480); statically-occupied
+        # goal region -> invalid goal, permanent stop (:460-471)
+        stop_replan = traj_hit
+        goal_invalid = active & goal_region_occupied(occ, goal)
+    else:
+        # predefined-goal mode: log + replan while executing (:414-422) —
+        # the engine already replans every cycle, so the monitor's effect
+        # is the observable counter only
+        stop_replan = false
+        goal_invalid = false
+
+    planner_in = jax.tree.map(
+        lambda fresh, cur: jnp.where(stop_replan, fresh, cur),
+        mpclib.init_planner_state(cfg.planner), carry.planner)
+    ref_anchor = jnp.where(stop_replan, carry.pos, carry.ref_anchor)
+    if ecfg.goal_mode:
+        # the reference rebuilds its MPC input trajectory from current
+        # odom -> goal after every stop (mpcCB :268-288, 2-waypoint
+        # min-snap; over an empty corridor that is the straight segment)
+        L = ref_traj.shape[0]
+        ref_traj = jnp.linspace(ref_anchor, goal, L)
+        traj_len = jnp.asarray(L)
+
     # ---- predictor + MPC (mpcCB :290-365) ----
     if ecfg.use_predictor:
         prediction = predlib.predict(cfg.predictor, pos_h, vel_h, acc_h,
                                      size_h, hist_len, occ)
         plan_out = mpclib.make_plan_with_pred(
-            cfg.planner, carry.planner, carry.pos, carry.vel, ref_traj,
+            cfg.planner, planner_in, carry.pos, carry.vel, ref_traj,
             traj_len, prediction, visible, solver_iters,
             curr_yaw=carry.yaw if ecfg.use_fov else None,
             solve_override=solve_override)
@@ -166,17 +269,36 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         # use_predictor=false: obstacles held constant over the horizon
         # (mpcNavigation.cpp:301-311 + updateDynamicObstacles)
         plan_out = mpclib.make_plan(
-            cfg.planner, carry.planner, carry.pos, carry.vel, ref_traj,
+            cfg.planner, planner_in, carry.pos, carry.vel, ref_traj,
             traj_len, pos_h[:, 0], vel_h[:, 0], size_h[:, 0], visible,
             solver_iters)
 
-    run_mpc = active & ~carry.stopping
+    # stop_replan / goal_invalid cycles hold position and do not commit a
+    # plan (the reference's stop() + mpcTrajectoryReady_=false; the replan
+    # resumes next cycle from the reset warm state)
+    run_mpc = active & ~carry.stopping & ~stop_replan & ~goal_invalid
     planner = jax.tree.map(
         lambda new, old: jnp.where(run_mpc, new, old),
-        plan_out.state, carry.planner)
+        plan_out.state, planner_in)
     valid = plan_out.valid & run_mpc
-    traj_ready = carry.traj_ready | valid
+    traj_ready = (carry.traj_ready & ~stop_replan) | valid
     traj_age = jnp.where(valid, 0, carry.traj_age + 1)
+
+    if ecfg.goal_mode and ecfg.replan_check:
+        # goal mode also vets the FRESHLY committed plan: the reference's
+        # 100 Hz replanCheckCB fires within 10 ms of a commit, so a plan
+        # that already collides is stopped before it meaningfully
+        # executes (:474-480). Without this the engine's 10 Hz check
+        # granularity would let a doomed plan fly a full cycle.
+        post_hit = valid & committed_collision(
+            cfg, planner, occ, jnp.asarray(ecfg.control_dt), pos_h[:, 0],
+            size_h[:, 0], visible)
+        planner = jax.tree.map(
+            lambda fresh, cur: jnp.where(post_hit, fresh, cur),
+            mpclib.init_planner_state(cfg.planner), planner)
+        traj_ready = traj_ready & ~post_hit
+        stop_replan = stop_replan | post_hit
+        traj_hit = traj_hit | post_hit
 
     best_prim = plan_out.prim_res[plan_out.best_idx]
     metrics = carry.metrics._replace(
@@ -186,13 +308,21 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         + jnp.where(run_mpc, best_prim, 0.0),
         prim_res_max=jnp.where(
             run_mpc, jnp.maximum(carry.metrics.prim_res_max, best_prim),
-            carry.metrics.prim_res_max))
+            carry.metrics.prim_res_max),
+        traj_collision_cycles=carry.metrics.traj_collision_cycles
+        + traj_hit.astype(jnp.int32),
+        stop_replans=carry.metrics.stop_replans
+        + stop_replan.astype(jnp.int32))
 
     # ---- goal-stop / repeat trigger (replanCheckCB :414-456) ----
-    near_goal = (jnp.linalg.norm(carry.pos - goal) <= ecfg.goal_stop_threshold) \
-        & (t0 - carry.tracking_start >= 3.0)
+    near_goal = jnp.linalg.norm(carry.pos - goal) <= ecfg.goal_stop_threshold
+    if not ecfg.goal_mode:
+        # predefined-goal mode gates the stop on 3 s of tracking (:423);
+        # goal mode stops on distance alone (:482-494)
+        near_goal = near_goal & (t0 - carry.tracking_start >= 3.0)
     do_repeat = near_goal & active & (carry.repeats_left > 1)
-    stopping = carry.stopping | (near_goal & active & (carry.repeats_left <= 1))
+    stopping = carry.stopping | (near_goal & active & (carry.repeats_left <= 1)) \
+        | goal_invalid
     stop_pos = jnp.where(carry.stopping, carry.stop_pos, carry.pos)
     repeats_left = jnp.where(do_repeat, carry.repeats_left - 1,
                              carry.repeats_left)
@@ -298,11 +428,17 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         metrics = m
         prev_acc = jnp.where(active, ta, prev_acc)
         has_prev = has_prev | active
-        # yaw follows the trajectory heading (trajExeCB :543-555: target
-        # yaw = atan2 of the facing direction; held below the speed gate)
-        speed_xy = jnp.linalg.norm(tv[0:2])
-        yaw = jnp.where(active & (speed_xy > 0.1),
-                        jnp.arctan2(tv[1], tv[0]), yaw)
+        if ecfg.yaw_lookahead > 0.0:
+            # reference yaw semantics (trajExeCB :536-553): point at the
+            # stored-reference point >= 1 m ahead; hold yaw when none or
+            # when holding position (the leftTime<=0 / noYawChange paths)
+            yaw = _lookahead_yaw(cfg, planner, t_traj, yaw,
+                                 active & traj_ready & ~hold & ~past_end)
+        else:
+            # legacy velocity-heading yaw (round-2 behavior)
+            speed_xy = jnp.linalg.norm(tv[0:2])
+            yaw = jnp.where(active & (speed_xy > 0.1),
+                            jnp.arctan2(tv[1], tv[0]), yaw)
 
         # goal criterion (run_mpc_benchmark.py:268-276); with repeat_path
         # (loop-path demos, where goal == path start) the trial only
@@ -324,8 +460,12 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         traj_age=traj_age, traj_ready=traj_ready,
         prev_target_acc=prev_acc, has_prev_target=has_prev,
         stopping=stopping, stop_pos=stop_pos, repeats_left=repeats_left,
-        tracking_start=tracking_start, yaw=yaw, quad=quad, done=done,
-        metrics=metrics)
+        tracking_start=tracking_start, yaw=yaw,
+        # after a stop+replan the next cycle's reference re-anchors at the
+        # held position (the reference rebuilds its input traj from
+        # current odom once refTrajReady_ is false, mpcCB :268-288)
+        ref_anchor=jnp.where(stop_replan, pos, ref_anchor),
+        quad=quad, done=done, metrics=metrics)
     return new_carry, pos
 
 
@@ -382,4 +522,6 @@ def summarize(cfg: IntentMPCConfig, carry: EngineCarry) -> dict:
         "mpc_solve_successes": int(m.solve_successes),
         "mpc_prim_res_avg": float(m.prim_res_sum) / max(int(m.solve_attempts), 1),
         "mpc_prim_res_max": float(m.prim_res_max),
+        "traj_collision_cycles": int(m.traj_collision_cycles),
+        "stop_replans": int(m.stop_replans),
     }

@@ -383,6 +383,34 @@ class EngineConfig:
     repeat_path: int = 1                 # execute_path_times: re-track the
                                          # reference path N times before the
                                          # goal stop (replanCheckCB :438-455)
+    replan_check: bool = True            # committed-trajectory collision
+                                         # monitor each cycle (replanCheckCB
+                                         # mpcHasCollision :631-656 +
+                                         # hasDynamicCollision :669-700).
+                                         # Predefined-goal mode: counted +
+                                         # replan-while-executing (:414-422,
+                                         # a no-op here — the engine replans
+                                         # every cycle). Goal mode: triggers
+                                         # stop+replan (:474-480)
+    goal_mode: bool = False              # interactive-goal navigation
+                                         # (usePredefinedGoal_=false): goal
+                                         # stop at 0.3 m without the 3 s
+                                         # tracking gate (:482-494), invalid-
+                                         # goal stop when the goal region is
+                                         # statically occupied (:460-471 via
+                                         # goalHasCollision :612-629), and
+                                         # stop+replan on committed-traj
+                                         # collision with the reference
+                                         # re-anchored at the stop position
+                                         # (the straight-line equivalent of
+                                         # the 2-waypoint min-snap rebuild,
+                                         # mpcCB :268-288)
+    yaw_lookahead: float = 1.0           # trajExeCB :536-553: target yaw
+                                         # points at the first reference-
+                                         # trajectory point >= this distance
+                                         # ahead of getRef(t); hold yaw if
+                                         # none. <= 0 restores the round-2
+                                         # velocity-heading behavior
     vel_limit: float = 5.0               # DYNUS Linf violation limits
     acc_limit: float = 20.0
     jerk_limit: float = 100.0
