@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -163,18 +164,26 @@ def quat_to_euler(q):
     return roll, pitch, yaw
 
 
-def quad_step(cfg: QuadPlantConfig, st: QuadState, acc_cmd, yaw_cmd,
-              dt: float) -> QuadState:
-    """One control tick: PID cascade -> body force/torque -> substepped
-    rigid-body integration (UpdateDynamics acc-control branch)."""
+def _cascade_substep(cfg: QuadPlantConfig, st: QuadState, acc_cmd, yaw_cmd,
+                     h: float) -> QuadState:
+    """One PHYSICS step: full PID cascade + rigid-body integration at step
+    h — exactly the plugin's Update() granularity. The plugin is connected
+    to Gazebo's world-update event (quadcopterPlugin.cpp:334-350), so the
+    WHOLE cascade (FD acceleration, acc/attitude/yaw PIDs, force/torque)
+    re-evaluates every physics step (max_step_size 0.001 in the benchmark
+    world, worlds/test/empty.world:73), NOT at the 100 Hz command rate.
+    Round 2 ran the cascade once per 100 Hz control tick and substepped
+    only the integration — a 10x slower inner attitude loop, the suspected
+    source of the rigid-plant attitude lag (VERDICT r2 item 3; measured
+    comparison in RESULTS.md)."""
     g = cfg.gravity
     m = cfg.mass
     inertia = jnp.asarray(cfg.inertia, jnp.float32)
     R = _quat_to_mat(st.quat)
     roll, pitch, yaw = quat_to_euler(st.quat)
 
-    # FD world acceleration over the last control tick (plugin :382-384)
-    acc_world = (st.vel - st.prev_vel) / dt
+    # FD world acceleration over the last physics step (plugin :382-384)
+    acc_world = (st.vel - st.prev_vel) / h
     body_acc = R.T @ acc_world
     accchange = body_acc - st.prev_body_acc
 
@@ -182,37 +191,39 @@ def quad_step(cfg: QuadPlantConfig, st: QuadState, acc_cmd, yaw_cmd,
     gw = jnp.array([0.0, 0.0, -g])
     cos_tilt = jnp.dot(gw, R @ gw) / (g * g)
     load_factor = 1.0 / jnp.maximum(cos_tilt, 0.2)  # guarded near-inverted
+    # (the plugin divides unguarded; the guard only differs past ~78 deg
+    # tilt, where the benchmark flight never operates)
 
     # yaw-angle -> yaw-rate setpoint (P-only, wrapped)
     yaw_rate_sp, pid_yaw_angle = pid_update(
-        cfg.yaw_angle, st.pid_yaw_angle, yaw_cmd, yaw, yaw_cmd - yaw, dt,
+        cfg.yaw_angle, st.pid_yaw_angle, yaw_cmd, yaw, yaw_cmd - yaw, h,
         is_yaw=True)
 
     des_body = R.T @ jnp.asarray(acc_cmd)
     pitch_cmd, pid_acc_x = pid_update(cfg.acc_xy, st.pid_acc_x,
                                       des_body[0], body_acc[0],
-                                      accchange[0], dt)
+                                      accchange[0], h)
     roll_cmd, pid_acc_y = pid_update(cfg.acc_xy, st.pid_acc_y,
                                      des_body[1], body_acc[1],
-                                     accchange[1], dt)
+                                     accchange[1], h)
     pitch_cmd = pitch_cmd / g
     roll_cmd = -roll_cmd / g
 
     tq_x, pid_roll = pid_update(cfg.rollpitch, st.pid_roll, roll_cmd,
-                                roll, st.omega[0], dt)
+                                roll, st.omega[0], h)
     tq_y, pid_pitch = pid_update(cfg.rollpitch, st.pid_pitch, pitch_cmd,
-                                 pitch, st.omega[1], dt)
+                                 pitch, st.omega[1], h)
     fz_pid, pid_acc_z = pid_update(cfg.acc_z, st.pid_acc_z, des_body[2],
-                                   body_acc[2], accchange[2], dt)
+                                   body_acc[2], accchange[2], h)
     tq_z, pid_yaw = pid_update(cfg.yaw_rate, st.pid_yaw, yaw_rate_sp,
-                               st.omega[2], 0.0, dt)
+                               st.omega[2], 0.0, h)
     tq_z = jnp.where(jnp.isnan(tq_z), 0.0, tq_z)  # plugin NaN guard
 
     torque = inertia * jnp.array([tq_x, tq_y, tq_z])
     fz = m * (fz_pid + load_factor * g)
     fz = jnp.clip(fz, 0.0, cfg.max_force)
 
-    pos, vel, quat, omega = _integrate(cfg, st, fz, torque, dt)
+    pos, vel, quat, omega = _rigid_step(cfg, st, fz, torque, h)
     return QuadState(
         pos=pos, vel=vel, quat=quat, omega=omega,
         prev_vel=st.vel, prev_body_acc=body_acc,
@@ -221,24 +232,49 @@ def quad_step(cfg: QuadPlantConfig, st: QuadState, acc_cmd, yaw_cmd,
         pid_yaw_angle=pid_yaw_angle)
 
 
-def _integrate(cfg: QuadPlantConfig, st: QuadState, fz, torque, dt: float):
-    """Substepped rigid-body integration (the Gazebo physics step):
-    semi-implicit Euler with the gyroscopic term and quaternion attitude."""
+def quad_step(cfg: QuadPlantConfig, st: QuadState, acc_cmd, yaw_cmd,
+              dt: float) -> QuadState:
+    """One 100 Hz control tick: the held (acc_cmd, yaw_cmd) command drives
+    `substeps` full cascade+integration physics steps (1 kHz default),
+    matching the plugin's world-update cadence."""
+    h = dt / cfg.substeps
+
+    def body(s, _):
+        return _cascade_substep(cfg, s, acc_cmd, yaw_cmd, h), None
+
+    st, _ = jax.lax.scan(body, st, None, length=cfg.substeps)
+    return st
+
+
+def _rigid_step(cfg: QuadPlantConfig, st: QuadState, fz, torque, h: float):
+    """One rigid-body physics step (the Gazebo ODE step): semi-implicit
+    Euler with the gyroscopic term and quaternion attitude."""
     m = cfg.mass
     inertia = jnp.asarray(cfg.inertia, jnp.float32)
     gw = jnp.array([0.0, 0.0, -cfg.gravity])
+    pos, vel, quat, omega = st.pos, st.vel, st.quat, st.omega
+    Rk = _quat_to_mat(quat)
+    a = Rk @ jnp.array([0.0, 0.0, fz]) / m + gw
+    vel = vel + a * h
+    pos = pos + vel * h
+    omega_dot = (torque - jnp.cross(omega, inertia * omega)) / inertia
+    omega = omega + omega_dot * h
+    dq = _quat_mul(quat, jnp.concatenate([jnp.zeros(1), omega]))
+    quat = quat + 0.5 * dq * h
+    quat = quat / jnp.linalg.norm(quat)
+    return pos, vel, quat, omega
+
+
+def _integrate(cfg: QuadPlantConfig, st: QuadState, fz, torque, dt: float):
+    """Substepped rigid-body integration with force/torque HELD over the
+    control tick (used by the body-rate branch, whose inner rate loop
+    stands in for PX4's rather than the plugin's cascade)."""
     h = dt / cfg.substeps
     pos, vel, quat, omega = st.pos, st.vel, st.quat, st.omega
+    cur = st
     for _ in range(cfg.substeps):
-        Rk = _quat_to_mat(quat)
-        a = Rk @ jnp.array([0.0, 0.0, fz]) / m + gw
-        vel = vel + a * h
-        pos = pos + vel * h
-        omega_dot = (torque - jnp.cross(omega, inertia * omega)) / inertia
-        omega = omega + omega_dot * h
-        dq = _quat_mul(quat, jnp.concatenate([jnp.zeros(1), omega]))
-        quat = quat + 0.5 * dq * h
-        quat = quat / jnp.linalg.norm(quat)
+        pos, vel, quat, omega = _rigid_step(cfg, cur, fz, torque, h)
+        cur = cur._replace(pos=pos, vel=vel, quat=quat, omega=omega)
     return pos, vel, quat, omega
 
 
