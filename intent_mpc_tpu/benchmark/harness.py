@@ -15,6 +15,7 @@ import dataclasses
 import json
 import os
 import time
+from functools import partial
 from typing import List, Optional, Sequence
 
 import jax
@@ -26,13 +27,57 @@ from intent_mpc_tpu.parallel import sharding as sh
 from intent_mpc_tpu.utils.config import IntentMPCConfig
 
 
+# Measured safe envelope for ONE engine-scan dispatch on this machine's
+# TPU tunnel (benchmark/crash_probe.py bisect, RESULTS.md round 3): the
+# tunnel worker crashes ("TPU worker process crashed or restarted ...
+# kernel fault") when a single dispatch runs too many engine-body
+# iterations — 128-batch tiling: OK at 700 cycles, crash at 850 (x2);
+# 64-batch tiling: OK at 1000 (~230 s!), crash at 1300; a PLAIN matmul
+# scan runs 87 s / 450k iterations fine. Neither wall-clock duration nor
+# batch x cycles explains the data; the envelope is per compiled
+# program, consistent with a per-body-iteration resource leak in the
+# worker whose rate depends on the program's tiling. 512 cycles is
+# conservative for every tiling measured.
+SAFE_SINGLE_DISPATCH_CYCLES = 512
+
+
 def run_trials(cfg: IntentMPCConfig, seeds: Sequence[int],
                mesh=None, solver_iters: Optional[int] = None,
                num_cycles: Optional[int] = None) -> List[dict]:
-    """Run one trial per seed (batched on device); returns per-trial rows."""
+    """Run one trial per seed (batched on device); returns per-trial rows.
+
+    On a real TPU, episode scans longer than SAFE_SINGLE_DISPATCH_CYCLES
+    are automatically split into multiple dispatches (in-memory carry,
+    no checkpoint file) — see the envelope note above."""
     ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)
     traj_len = jnp.asarray(ref.shape[0])
     scenarios = sh.stack_scenarios(cfg, seeds)
+    total = num_cycles if num_cycles is not None else cfg.engine.num_cycles
+    if (mesh is None and total > SAFE_SINGLE_DISPATCH_CYCLES
+            and jax.devices()[0].platform == "tpu"):
+        from intent_mpc_tpu.engine import closed_loop as cl
+        from intent_mpc_tpu.models.occupancy import empty_grid
+        occ = empty_grid()
+        chunk = SAFE_SINGLE_DISPATCH_CYCLES
+
+        @partial(jax.jit, static_argnames=("n",))
+        def run_chunk(carry, start_idx, n):
+            def step(c, i):
+                c2, _ = jax.vmap(lambda cc, s: cl.episode_step(
+                    cfg, s, ref, traj_len, occ, cc, i,
+                    solver_iters=solver_iters))(c, scenarios)
+                return c2, None
+            c, _ = jax.lax.scan(step, carry, start_idx + jnp.arange(n))
+            return c
+
+        carry = jax.vmap(lambda s: cl.init_carry(cfg, s))(scenarios)
+        start = 0
+        while start < total:
+            n = min(chunk, total - start)
+            carry = run_chunk(carry, jnp.asarray(start, jnp.int32), n)
+            jax.block_until_ready(carry)
+            start += n
+        return _rows_from_metrics(cfg, seeds, carry.metrics)
     metrics, _ = sh.batch_rollout(cfg, scenarios, ref, traj_len, mesh=mesh,
                                   solver_iters=solver_iters,
                                   num_cycles=num_cycles)
