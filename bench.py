@@ -56,6 +56,9 @@ def main():
                     help="shared-factor refinement steps per x-update")
     ap.add_argument("--refine-mode", type=str, default=None,
                     choices=["stationary", "cg"])
+    ap.add_argument("--refine-x0", type=str, default=None,
+                    choices=["minv", "prev"],
+                    help="CG x-update initial guess (see SolverConfig)")
     ap.add_argument("--per-candidate-factor", action="store_true",
                     help="disable the shared-factor solve (factor every "
                          "intent candidate separately, the pre-r1 default)")
@@ -88,7 +91,7 @@ def main():
                 cfg.planner.solver, fused_solve=True))
         cfg = cfg.replace(planner=planner)
     if (args.refine is not None or args.refine_mode is not None
-            or args.folded_refine):
+            or args.folded_refine or args.refine_x0 is not None):
         sv = cfg.planner.solver
         sv = dataclasses.replace(
             sv,
@@ -96,7 +99,9 @@ def main():
             shared_refine_iters=(args.refine if args.refine is not None
                                  else sv.shared_refine_iters),
             shared_refine_mode=(args.refine_mode if args.refine_mode
-                                else sv.shared_refine_mode))
+                                else sv.shared_refine_mode),
+            shared_refine_x0=(args.refine_x0 if args.refine_x0
+                              else sv.shared_refine_x0))
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, solver=sv))
 

@@ -255,6 +255,8 @@ def main():  # pragma: no cover
                     help="closed-loop plant (EngineConfig.plant)")
     ap.add_argument("--refine", type=int, default=None,
                     help="shared-factor refinement steps per x-update")
+    ap.add_argument("--refine-x0", type=str, default=None,
+                    choices=["minv", "prev"])
     ap.add_argument("--refine-mode", type=str, default=None,
                     choices=["stationary", "cg"])
     ap.add_argument("--per-candidate-factor", action="store_true",
@@ -294,14 +296,17 @@ def main():  # pragma: no cover
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, solver=dataclasses.replace(
                 cfg.planner.solver, fused_solve=True)))
-    if args.refine is not None or args.refine_mode is not None:
+    if (args.refine is not None or args.refine_mode is not None
+            or args.refine_x0 is not None):
         sv = cfg.planner.solver
         sv = dataclasses.replace(
             sv,
             shared_refine_iters=(args.refine if args.refine is not None
                                  else sv.shared_refine_iters),
             shared_refine_mode=(args.refine_mode if args.refine_mode
-                                else sv.shared_refine_mode))
+                                else sv.shared_refine_mode),
+            shared_refine_x0=(args.refine_x0 if args.refine_x0
+                              else sv.shared_refine_x0))
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, solver=sv))
 

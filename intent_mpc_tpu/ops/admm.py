@@ -410,16 +410,27 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
     except NameError:
         custom_msolve = None
 
+    warm_x0 = (factor is not None and scfg.shared_refine_mode == "cg"
+               and scfg.shared_refine_x0 == "prev")
+
     def make_step(refine_k: int):
-        def msolve_cg(rhs):
+        def msolve_cg(rhs, x_init):
             # preconditioned CG on this candidate's normal system with the
             # shared Minv as preconditioner: per step the same two applies
             # as stationary refinement (one normal-operator, one Minv) but
             # Krylov-optimal step/conjugation scalars, and the initial
             # guess reuses the preconditioner apply (one fewer Minv read
-            # per x-update than stationary at equal normal-op count)
+            # per x-update than stationary at equal normal-op count).
+            # With shared_refine_x0="prev" the initial guess is instead
+            # the PREVIOUS ADMM iteration's x-tilde (passed in x_init):
+            # the iterates drift slowly, so the guess is closer and the
+            # initial Minv read is saved too (2 Minv applies per x-update
+            # instead of 3 — the dominant HBM term, see the roofline).
             tiny = jnp.asarray(1e-30, Minv.dtype)
-            x = jnp.matmul(Minv, rhs, precision=_PREC)
+            if x_init is None:
+                x = jnp.matmul(Minv, rhs, precision=_PREC)
+            else:
+                x = x_init
             r = m_residual(rhs, x)
             z = jnp.matmul(Minv, r, precision=_PREC)
             p = z
@@ -438,11 +449,11 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
                     p = z + b * p
             return x
 
-        def msolve(rhs):
+        def msolve(rhs, x_init):
             if custom_msolve is not None:
                 return custom_msolve(rhs)
             if scfg.shared_refine_mode == "cg" and refine_k > 0:
-                return msolve_cg(rhs)
+                return msolve_cg(rhs, x_init)
             x = jnp.matmul(Minv, rhs, precision=_PREC)
             for _ in range(refine_k):
                 r = m_residual(rhs, x)
@@ -450,10 +461,10 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
             return x
 
         def step(carry, _):
-            x, z, y = carry
+            x, z, y, xt_prev = carry
             rz_y = z.map(lambda zi, ri, yi: ri * zi - yi, rho, y)
             rhs = sigma * x - q_s + at_s(rz_y)
-            x_t = msolve(rhs)
+            x_t = msolve(rhs, xt_prev if warm_x0 else None)
             z_t = a_s(x_t)
             x_n = alpha * x_t + (1.0 - alpha) * x
             z_relax = z_t.map(lambda zt, zi: alpha * zt + (1.0 - alpha) * zi,
@@ -463,7 +474,7 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
                 y, rho, l_s, u_s)
             y_n = y.map(lambda yi, zr, zn, ri: yi + ri * (zr - zn),
                         z_relax, z_n, rho)
-            return (x_n, z_n, y_n), None
+            return (x_n, z_n, y_n, x_t), None
         return step
 
     if x0 is None:
@@ -485,13 +496,13 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
     # for the tail that shapes the executed trajectory
     warm = int(iters * scfg.shared_refine_warm_frac) \
         if factor is not None else 0
-    carry = (xs0, z0, y0)
+    carry = (xs0, z0, y0, xs0)
     if warm > 0:
         carry, _ = jax.lax.scan(make_step(scfg.shared_refine_warm), carry,
                                 None, length=warm)
     carry, _ = jax.lax.scan(make_step(refine), carry, None,
                             length=iters - warm)
-    (xs, zs, ys) = carry
+    (xs, zs, ys, _) = carry
 
     # unscale
     x = D * xs

@@ -254,6 +254,21 @@ class SolverConfig:
                                       # refinement steps before switching
                                       # to shared_refine_iters (0 = uniform)
     shared_refine_warm: int = 1       # cheap-phase refinement count
+    shared_refine_x0: str = "prev"    # CG x-update initial guess:
+                                      # "prev" (default) = the previous
+                                      # ADMM iteration's x-tilde — the
+                                      # iterates drift slowly, so the
+                                      # Krylov correction starts closer
+                                      # AND one of the three HBM-bound
+                                      # Minv applies per iteration is
+                                      # saved. Measured (round 3): 9245
+                                      # -> 10583 solves/s at batch 128,
+                                      # 6224 -> 6824 at batch 32, with an
+                                      # identical 16-seed DYNUS gate
+                                      # (16/16, 0 collisions, in-family
+                                      # violation stats). "minv" =
+                                      # round-2 behavior (preconditioner
+                                      # apply Minv @ rhs)
     shared_refine_iters: int = 2      # refinement steps per x-update when
                                       # solving with a shared factor.
                                       # cg-2 keeps full DYNUS closed-loop
