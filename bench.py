@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--refine-x0", type=str, default=None,
                     choices=["minv", "prev"],
                     help="CG x-update initial guess (see SolverConfig)")
+    ap.add_argument("--factor-reuse", type=int, default=None,
+                    help="refresh the shared factor every k-th cycle "
+                         "(SolverConfig.factor_reuse_cycles)")
     ap.add_argument("--per-candidate-factor", action="store_true",
                     help="disable the shared-factor solve (factor every "
                          "intent candidate separately, the pre-r1 default)")
@@ -91,7 +94,8 @@ def main():
                 cfg.planner.solver, fused_solve=True))
         cfg = cfg.replace(planner=planner)
     if (args.refine is not None or args.refine_mode is not None
-            or args.folded_refine or args.refine_x0 is not None):
+            or args.folded_refine or args.refine_x0 is not None
+            or args.factor_reuse is not None):
         sv = cfg.planner.solver
         sv = dataclasses.replace(
             sv,
@@ -101,7 +105,10 @@ def main():
             shared_refine_mode=(args.refine_mode if args.refine_mode
                                 else sv.shared_refine_mode),
             shared_refine_x0=(args.refine_x0 if args.refine_x0
-                              else sv.shared_refine_x0))
+                              else sv.shared_refine_x0),
+            factor_reuse_cycles=(args.factor_reuse
+                                 if args.factor_reuse is not None
+                                 else sv.factor_reuse_cycles))
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, solver=sv))
 

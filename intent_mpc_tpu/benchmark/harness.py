@@ -257,6 +257,7 @@ def main():  # pragma: no cover
                     help="shared-factor refinement steps per x-update")
     ap.add_argument("--refine-x0", type=str, default=None,
                     choices=["minv", "prev"])
+    ap.add_argument("--factor-reuse", type=int, default=None)
     ap.add_argument("--refine-mode", type=str, default=None,
                     choices=["stationary", "cg"])
     ap.add_argument("--per-candidate-factor", action="store_true",
@@ -297,7 +298,7 @@ def main():  # pragma: no cover
             cfg.planner, solver=dataclasses.replace(
                 cfg.planner.solver, fused_solve=True)))
     if (args.refine is not None or args.refine_mode is not None
-            or args.refine_x0 is not None):
+            or args.refine_x0 is not None or args.factor_reuse is not None):
         sv = cfg.planner.solver
         sv = dataclasses.replace(
             sv,
@@ -306,7 +307,10 @@ def main():  # pragma: no cover
             shared_refine_mode=(args.refine_mode if args.refine_mode
                                 else sv.shared_refine_mode),
             shared_refine_x0=(args.refine_x0 if args.refine_x0
-                              else sv.shared_refine_x0))
+                              else sv.shared_refine_x0),
+            factor_reuse_cycles=(args.factor_reuse
+                                 if args.factor_reuse is not None
+                                 else sv.factor_reuse_cycles))
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, solver=sv))
 

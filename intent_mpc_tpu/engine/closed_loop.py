@@ -264,7 +264,7 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
             cfg.planner, planner_in, carry.pos, carry.vel, ref_traj,
             traj_len, prediction, visible, solver_iters,
             curr_yaw=carry.yaw if ecfg.use_fov else None,
-            solve_override=solve_override)
+            solve_override=solve_override, cycle_idx=cycle_idx)
     else:
         # use_predictor=false: obstacles held constant over the horizon
         # (mpcNavigation.cpp:301-311 + updateDynamicObstacles)

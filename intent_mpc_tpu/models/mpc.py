@@ -46,6 +46,13 @@ class PlannerState(NamedTuple):
     last_ref_start: jnp.ndarray  # int32 (lastRefStartIdx_)
     xref: jnp.ndarray           # (H, 3) last reference window (ref_)
     rho: jnp.ndarray            # scalar: temporally-adapted ADMM penalty
+    # carried shared factor (solver.factor_reuse_cycles > 1 only; None
+    # otherwise so the default carry stays lean): Ruiz scaling + explicit
+    # inverse reused across cycles, refreshed every k-th cycle
+    fac_d: Optional[jnp.ndarray] = None       # (n,)
+    fac_e: Optional[qplib.ConVec] = None      # constraint-space scaling
+    fac_c: Optional[jnp.ndarray] = None       # scalar cost scaling
+    fac_minv: Optional[jnp.ndarray] = None    # (n, n)
 
 
 class PlanOutput(NamedTuple):
@@ -59,6 +66,25 @@ class PlanOutput(NamedTuple):
 
 def init_planner_state(cfg: PlannerConfig) -> PlannerState:
     H, W = cfg.horizon, cfg.mpc_window
+    if cfg.solver.factor_reuse_cycles > 1:
+        # identity-preconditioner placeholder: usable (CG still converges
+        # against the true normal operator) until the first refresh at
+        # cycle 0 / after a mid-flight planner reset
+        n = cfg.num_vars
+        K = cfg.max_obstacles
+        fac = dict(
+            fac_d=jnp.ones(n, jnp.float32),
+            fac_e=qplib.ConVec(eq=jnp.ones((H, 8), jnp.float32),
+                               sb=jnp.ones((H, 8), jnp.float32),
+                               cb=jnp.ones((W, 5), jnp.float32),
+                               # K slots + 1 second-series slot (QPs with
+                               # fewer obstacles slice; see the reuse
+                               # branch in make_plan_with_pred)
+                               obs=jnp.ones((W, K + 1), jnp.float32)),
+            fac_c=jnp.ones((), jnp.float32),
+            fac_minv=jnp.eye(n, dtype=jnp.float32))
+    else:
+        fac = {}
     return PlannerState(
         states_sol=jnp.zeros((H, 8), jnp.float32),
         controls_sol=jnp.zeros((W, 5), jnp.float32),
@@ -67,6 +93,7 @@ def init_planner_state(cfg: PlannerConfig) -> PlannerState:
         last_ref_start=jnp.asarray(0, jnp.int32),
         xref=jnp.zeros((H, 3), jnp.float32),
         rho=jnp.asarray(cfg.solver.rho, jnp.float32),
+        **fac,
     )
 
 
@@ -240,7 +267,8 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
                         pred: Prediction, visible: jnp.ndarray,
                         max_iter: Optional[int] = None,
                         curr_yaw: Optional[jnp.ndarray] = None,
-                        solve_override=None) -> PlanOutput:
+                        solve_override=None,
+                        cycle_idx: Optional[jnp.ndarray] = None) -> PlanOutput:
     """One replanning cycle (mpcCB body + makePlanWithPred).
 
     All 6 intent-combination QPs are assembled and solved as one batch.
@@ -332,6 +360,7 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
                      jnp.zeros(cfg.num_vars))
     warm6 = jnp.broadcast_to(warm, (6,) + warm.shape)
 
+    fac_carry = None          # set by the factor-reuse branch below
     if solve_override is not None:
         res = solve_override(qps, warm6)
     elif cfg.solver.fused_solve:
@@ -398,7 +427,36 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
                 cfg, q, x, max_iter, rho_override=state.rho,
                 factor=fac, diff_slots=diff_slots))(qps, warm6)
         else:
-            fac = admm_factor(cfg, qp_mean, rho_override=state.rho)
+            from intent_mpc_tpu.ops.admm import Factor
+            k_reuse = cfg.solver.factor_reuse_cycles
+            if (k_reuse > 1 and cycle_idx is not None
+                    and curr_yaw is None and state.fac_minv is not None):
+                # temporal factor reuse (VERDICT r2 item 8): refresh the
+                # Ruiz scaling + structured inverse only every k-th
+                # cycle; the CG refinement against each candidate's own
+                # fresh normal operator absorbs the drift. The predicate
+                # is the batch-uniform cycle counter, so under the
+                # engine's scenario vmap the cond stays a real branch
+                # and the skipped factorization is not computed.
+                Kq = qps.G.shape[2]   # runtime slots (O + second-series)
+
+                def fresh(_):
+                    f = admm_factor(cfg, qp_mean, rho_override=state.rho)
+                    return f.D, f.E, f.c, f.Minv
+
+                def reuse(_):
+                    # the carried obs scaling is allocated at the config
+                    # maximum; slice to this QP's slot count
+                    e = state.fac_e._replace(obs=state.fac_e.obs[:, :Kq])
+                    return state.fac_d, e, state.fac_c, state.fac_minv
+
+                fD, fE, fc2, fM = jax.lax.cond(
+                    cycle_idx % k_reuse == 0, fresh, reuse, None)
+                fac = Factor(D=fD, E=fE, c=fc2, Minv=fM, qp_mean=None)
+                e_pad = state.fac_e.obs.at[:, :Kq].set(fE.obs)
+                fac_carry = (fD, fE._replace(obs=e_pad), fc2, fM)
+            else:
+                fac = admm_factor(cfg, qp_mean, rho_override=state.rho)
             res = jax.vmap(lambda q, x: admm_solve(
                 cfg, q, x, max_iter, rho_override=state.rho,
                 factor=fac))(qps, warm6)
@@ -449,6 +507,10 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
         xref=jnp.where(valid, xref, state.xref),
         rho=(res.rho_suggest[best] if cfg.solver.temporal_rho
              else state.rho),
+        fac_d=fac_carry[0] if fac_carry is not None else state.fac_d,
+        fac_e=fac_carry[1] if fac_carry is not None else state.fac_e,
+        fac_c=fac_carry[2] if fac_carry is not None else state.fac_c,
+        fac_minv=fac_carry[3] if fac_carry is not None else state.fac_minv,
     )
     return PlanOutput(state=new_state, valid=valid, best_idx=best,
                       candidate_states=states6, solved=res.solved,

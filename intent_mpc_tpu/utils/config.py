@@ -277,6 +277,33 @@ class SolverConfig:
                                       # (2 showed 2/16 timeouts), cg-1
                                       # fails (7/16 timeouts) — the gate
                                       # results live in RESULTS.md
+    factor_reuse_cycles: int = 4      # recompute the shared x-update
+                                      # factor (Ruiz scaling + structured
+                                      # inverse) only every k-th replan
+                                      # cycle, reusing the previous
+                                      # cycle's from the planner carry in
+                                      # between — the 10 Hz QP sequence
+                                      # evolves slowly and the CG
+                                      # refinement absorbs the drift
+                                      # (VERDICT r2 item 8). 1 = every
+                                      # cycle (round-2 behavior); 4 is
+                                      # the measured default (RESULTS.md:
+                                      # +4-9% solves/s on top of the
+                                      # warm-start x-update, identical
+                                      # 16-seed gate). After a mid-flight
+                                      # planner reset the carried factor
+                                      # is an identity preconditioner for
+                                      # <= k-1 cycles (CG still corrects
+                                      # against the true operator). The
+                                      # stale-factor branch rides a
+                                      # scalar-predicate lax.cond (the
+                                      # cycle counter is batch-uniform),
+                                      # so the skipped factorization is
+                                      # genuinely not computed under
+                                      # vmap. Ignored when FOV rows are
+                                      # on (the carried factor has no
+                                      # FOV slots). Measured: see
+                                      # RESULTS.md
     temporal_rho: bool = False        # carry OSQP's adaptive-rho suggestion
                                       # across replan cycles. Off by default:
                                       # in the chronically-infeasible DYNUS
