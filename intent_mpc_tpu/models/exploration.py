@@ -44,12 +44,16 @@ def classify(log_odds: jnp.ndarray, cfg: ExplorationConfig):
 
 
 def frontiers(log_odds: jnp.ndarray, cfg: ExplorationConfig) -> jnp.ndarray:
-    """Free voxels 6-adjacent to unknown voxels."""
+    """Free voxels 6-adjacent to unknown voxels.
+
+    Padded shifts, NOT jnp.roll: roll wraps around the grid, which marked
+    voxels on one face as frontiers of unknown space on the OPPOSITE face
+    (found by the DEP roadmap tests — nodes sprouted at the map edge)."""
     unknown, free, _ = classify(log_odds, cfg)
-    near_unknown = jnp.zeros_like(unknown)
-    for ax in range(3):
-        near_unknown |= jnp.roll(unknown, 1, axis=ax)
-        near_unknown |= jnp.roll(unknown, -1, axis=ax)
+    up = jnp.pad(unknown, 1, constant_values=False)
+    near_unknown = (up[2:, 1:-1, 1:-1] | up[:-2, 1:-1, 1:-1]
+                    | up[1:-1, 2:, 1:-1] | up[1:-1, :-2, 1:-1]
+                    | up[1:-1, 1:-1, 2:] | up[1:-1, 1:-1, :-2])
     return free & near_unknown
 
 
