@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--factor-reuse", type=int, default=None,
                     help="refresh the shared factor every k-th cycle "
                          "(SolverConfig.factor_reuse_cycles)")
+    ap.add_argument("--flat-iter", action="store_true",
+                    help="flat-constraint-space iteration (SolverConfig."
+                         "flat_iter)")
     ap.add_argument("--per-candidate-factor", action="store_true",
                     help="disable the shared-factor solve (factor every "
                          "intent candidate separately, the pre-r1 default)")
@@ -95,7 +98,7 @@ def main():
         cfg = cfg.replace(planner=planner)
     if (args.refine is not None or args.refine_mode is not None
             or args.folded_refine or args.refine_x0 is not None
-            or args.factor_reuse is not None):
+            or args.factor_reuse is not None or args.flat_iter):
         sv = cfg.planner.solver
         sv = dataclasses.replace(
             sv,
@@ -108,7 +111,8 @@ def main():
                               else sv.shared_refine_x0),
             factor_reuse_cycles=(args.factor_reuse
                                  if args.factor_reuse is not None
-                                 else sv.factor_reuse_cycles))
+                                 else sv.factor_reuse_cycles),
+            flat_iter=args.flat_iter or sv.flat_iter)
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, solver=sv))
 

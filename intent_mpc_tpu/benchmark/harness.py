@@ -258,6 +258,7 @@ def main():  # pragma: no cover
     ap.add_argument("--refine-x0", type=str, default=None,
                     choices=["minv", "prev"])
     ap.add_argument("--factor-reuse", type=int, default=None)
+    ap.add_argument("--flat-iter", action="store_true")
     ap.add_argument("--refine-mode", type=str, default=None,
                     choices=["stationary", "cg"])
     ap.add_argument("--per-candidate-factor", action="store_true",
@@ -298,7 +299,8 @@ def main():  # pragma: no cover
             cfg.planner, solver=dataclasses.replace(
                 cfg.planner.solver, fused_solve=True)))
     if (args.refine is not None or args.refine_mode is not None
-            or args.refine_x0 is not None or args.factor_reuse is not None):
+            or args.refine_x0 is not None or args.factor_reuse is not None
+            or args.flat_iter):
         sv = cfg.planner.solver
         sv = dataclasses.replace(
             sv,
@@ -310,7 +312,8 @@ def main():  # pragma: no cover
                               else sv.shared_refine_x0),
             factor_reuse_cycles=(args.factor_reuse
                                  if args.factor_reuse is not None
-                                 else sv.factor_reuse_cycles))
+                                 else sv.factor_reuse_cycles),
+            flat_iter=args.flat_iter or sv.flat_iter)
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, solver=sv))
 

@@ -163,6 +163,48 @@ def make_folded_m_op(cfg: PlannerConfig, qp: QPData, h_s, sigma,
     return m_op
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _static_a_top(horizon: int, window: int, ts: float):
+    """The qp-independent top block of the constraint matrix — dynamics
+    equality rows + state-bound identity + control-bound identity, in
+    con_to_flat order [eq (H*8), sb (H*8), cb (W*5)] — as ONE dense
+    (625, n) constant shared by every candidate/scenario/cycle.
+
+    Motivation (RESULTS.md roofline): the closed-form a_s/at_s chains are
+    ~100 small fused VPU ops per ADMM iteration at ~1 us fixed cost each;
+    this matrix turns the entire eq/sb/cb section of both matvecs into
+    one lane-filling MXU matmul against a 0.96 MB loop constant."""
+    import numpy as np
+    H, W = horizon, window
+    NXc, NUc = 8, 5
+    n = NXc * H + NUc * W
+    A = np.zeros((NXc, NXc), np.float32)
+    A[0:3, 0:3] = np.eye(3)
+    A[0:3, 3:6] = np.eye(3) * ts
+    A[3:6, 3:6] = np.eye(3)
+    B = np.zeros((NXc, NUc), np.float32)
+    B[0:3, 0:3] = np.eye(3) * 0.5 * ts * ts
+    B[3:6, 0:3] = np.eye(3) * ts
+    B[6:8, 3:5] = np.eye(2)
+
+    top = np.zeros((NXc * H + NXc * H + NUc * W, n), np.float32)
+    # eq row block (a_matvec eq section): row (0, j) = -x0_j;
+    # row (i>=1, j) = A[j] @ x_{i-1} + B[j] @ u_{i-1} - x_i[j]
+    top[0:NXc, 0:NXc] = -np.eye(NXc)
+    for i in range(1, H):
+        r = NXc * i
+        top[r:r + NXc, NXc * (i - 1):NXc * i] = A
+        top[r:r + NXc, NXc * H + NUc * (i - 1):NXc * H + NUc * i] = B
+        top[r:r + NXc, NXc * i:NXc * (i + 1)] -= np.eye(NXc)
+    # sb block: identity on x; cb block: identity on u
+    top[NXc * H:2 * NXc * H, 0:NXc * H] = np.eye(NXc * H)
+    top[2 * NXc * H:, NXc * H:] = np.eye(NUc * W)
+    return jnp.asarray(top)
+
+
 def ruiz_equilibrate(cfg: PlannerConfig, qp: QPData, hdiag: jnp.ndarray,
                      iters: int) -> Scaling:
     """Ruiz equilibration of [P A^T; A 0] + OSQP cost scaling.
@@ -277,6 +319,120 @@ def _slot_columns(cfg: PlannerConfig, qp: QPData, rho_obs: jnp.ndarray,
 
     cols = jnp.concatenate([side(u3, dyn), side(u4, 1.0 - dyn)], axis=1)
     return cols.reshape(W * 2 * S, n).T                            # (n, 2SW)
+
+
+def _solve_flat(cfg: PlannerConfig, qp: QPData, scfg: SolverConfig,
+                factor: Factor, D, E, c, h_s, q_s, rho, xs0, iters: int):
+    """The ADMM iteration scan in FLAT constraint space (SolverConfig.
+    flat_iter): z/y/l/u/rho live as single (m,) vectors, the qp-invariant
+    eq/sb/cb section of A and A^T applies as one matmul against the
+    static _static_a_top constant, and the obstacle rows apply through
+    per-solve pre-folded coefficient tensors. Identical math to the
+    grouped path (test_qp pins the iterates); ~4x fewer ops per
+    iteration. Returns (xs, zs, ys) in scaled space with zs/ys as ConVec.
+    """
+    H, W = cfg.horizon, cfg.mpc_window
+    NXc, NUc = qplib.NX, qplib.NU
+    K = qp.G.shape[1]
+    n = cfg.num_vars
+    sigma, alpha = scfg.sigma, scfg.alpha
+    Minv = factor.Minv
+
+    A_top = _static_a_top(H, W, cfg.ts)
+    m_top = A_top.shape[0]
+    Dx = D[: NXc * H].reshape(H, NXc)
+    Du = D[NXc * H:].reshape(W, NUc)
+
+    e_flat = qplib.con_to_flat(E)
+    e_top = e_flat[:m_top]
+    rho_f = qplib.con_to_flat(rho)
+    l_f = qplib.con_to_flat(qp.l.scale(E))
+    u_f = qplib.con_to_flat(qp.u.scale(E))
+
+    # pre-folded obstacle coefficients (scaled rows applied to scaled x):
+    # row (w,k): e * [ G . (Dx_w p^) - slack * (dyn Du3 u3^ + (1-d) Du4 u4^) ]
+    act = qp.obs_active
+    Gh = qp.G * E.obs[..., None] * Dx[:-1, None, 0:3]          # (W,K,3)
+    sl = E.obs * qp.obs_slack * act
+    sd = sl * qp.obs_dyn * Du[:, 3][:, None]                   # (W,K)
+    ss = sl * (1.0 - qp.obs_dyn) * Du[:, 4][:, None]
+
+    def a_flat(x):
+        xd = D * x
+        top = e_top * jnp.matmul(A_top, xd, precision=_PREC)
+        X = xd[: NXc * H].reshape(H, NXc)
+        U = xd[NXc * H:].reshape(W, NUc)
+        # the D fold is already inside Gh/sd/ss -> use the UNSCALED vars
+        Xu = x[: NXc * H].reshape(H, NXc)
+        Uu = x[NXc * H:].reshape(W, NUc)
+        obs = jnp.einsum("wkd,wd->wk", Gh, Xu[:-1, 0:3],
+                         precision=_PREC) \
+            - sd * Uu[:, 3][:, None] - ss * Uu[:, 4][:, None]
+        del X, U
+        return jnp.concatenate([top, obs.reshape(-1)])
+
+    def at_flat(w):
+        top = jnp.matmul(A_top.T, e_top * w[:m_top], precision=_PREC)
+        wo = w[m_top:].reshape(W, K)
+        Xg = jnp.zeros((H, NXc)).at[:-1, 0:3].add(
+            jnp.einsum("wk,wkd->wd", wo, Gh, precision=_PREC))
+        Ug = jnp.zeros((W, NUc))
+        Ug = Ug.at[:, 3].add(-jnp.sum(wo * sd, axis=-1))
+        Ug = Ug.at[:, 4].add(-jnp.sum(wo * ss, axis=-1))
+        return D * top + qplib.merge_z(Xg, Ug)
+
+    def m_op(v):
+        return h_s * v + sigma * v + at_flat(rho_f * a_flat(v))
+
+    refine = scfg.shared_refine_iters
+    warm_x0 = scfg.shared_refine_mode == "cg" \
+        and scfg.shared_refine_x0 == "prev"
+    tiny = jnp.asarray(1e-30, Minv.dtype)
+
+    def msolve(rhs, x_init):
+        if scfg.shared_refine_mode == "cg" and refine > 0:
+            if warm_x0:
+                x = x_init
+            else:
+                x = jnp.matmul(Minv, rhs, precision=_PREC)
+            r = rhs - m_op(x)
+            z = jnp.matmul(Minv, r, precision=_PREC)
+            p = z
+            rz = jnp.vdot(r, z)
+            for j in range(refine):
+                ap = m_op(p)
+                pap = jnp.vdot(p, ap)
+                a = jnp.where(jnp.abs(pap) > tiny, rz / pap, 0.0)
+                x = x + a * p
+                if j < refine - 1:
+                    r = r - a * ap
+                    z = jnp.matmul(Minv, r, precision=_PREC)
+                    rz_n = jnp.vdot(r, z)
+                    b = jnp.where(jnp.abs(rz) > tiny, rz_n / rz, 0.0)
+                    rz = rz_n
+                    p = z + b * p
+            return x
+        x = jnp.matmul(Minv, rhs, precision=_PREC)
+        for _ in range(refine):
+            x = x + jnp.matmul(Minv, rhs - m_op(x), precision=_PREC)
+        return x
+
+    def step(carry, _):
+        x, z, y, xt_prev = carry
+        rhs = sigma * x - q_s + at_flat(rho_f * z - y)
+        x_t = msolve(rhs, xt_prev)
+        ax = a_flat(x_t)
+        x_n = alpha * x_t + (1.0 - alpha) * x
+        z_relax = alpha * ax + (1.0 - alpha) * z
+        z_n = jnp.clip(z_relax + y / rho_f, l_f, u_f)
+        y_n = y + rho_f * (z_relax - z_n)
+        return (x_n, z_n, y_n, x_t), None
+
+    z0 = a_flat(xs0)
+    y0 = jnp.zeros_like(z0)
+    (xs, zf, yf, _), _ = jax.lax.scan(step, (xs0, z0, y0, xs0), None,
+                                      length=iters)
+    return xs, qplib.flat_to_con(zf, cfg, K), qplib.flat_to_con(yf, cfg, K)
 
 
 def admm_solve(cfg: PlannerConfig, qp: QPData,
@@ -496,13 +652,21 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
     # for the tail that shapes the executed trajectory
     warm = int(iters * scfg.shared_refine_warm_frac) \
         if factor is not None else 0
-    carry = (xs0, z0, y0, xs0)
-    if warm > 0:
-        carry, _ = jax.lax.scan(make_step(scfg.shared_refine_warm), carry,
-                                None, length=warm)
-    carry, _ = jax.lax.scan(make_step(refine), carry, None,
-                            length=iters - warm)
-    (xs, zs, ys, _) = carry
+    if (factor is not None and scfg.flat_iter and custom_msolve is None
+            and not scfg.block_refine and not scfg.folded_refine
+            and warm == 0):
+        # flat-constraint-space iteration (see _solve_flat): same math,
+        # ~4x fewer ops per iteration
+        xs, zs, ys = _solve_flat(cfg, qp, scfg, factor, D, E, c, h_s,
+                                 q_s, rho, xs0, iters)
+    else:
+        carry = (xs0, z0, y0, xs0)
+        if warm > 0:
+            carry, _ = jax.lax.scan(make_step(scfg.shared_refine_warm),
+                                    carry, None, length=warm)
+        carry, _ = jax.lax.scan(make_step(refine), carry, None,
+                                length=iters - warm)
+        (xs, zs, ys, _) = carry
 
     # unscale
     x = D * xs

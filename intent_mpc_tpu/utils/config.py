@@ -277,6 +277,18 @@ class SolverConfig:
                                       # (2 showed 2/16 timeouts), cg-1
                                       # fails (7/16 timeouts) — the gate
                                       # results live in RESULTS.md
+    flat_iter: bool = False           # run the shared-factor ADMM scan in
+                                      # FLAT constraint space: z/y as one
+                                      # (m,) vector, the qp-invariant
+                                      # eq/sb/cb rows of A and A^T as a
+                                      # single matmul against a static
+                                      # (625, n) constant, obstacle rows
+                                      # via pre-folded coefficients —
+                                      # ~4x fewer ops per iteration (the
+                                      # roofline's dispatch-gap lever).
+                                      # Same math as the grouped path
+                                      # (test_qp pins the iterates);
+                                      # measured numbers in RESULTS.md
     factor_reuse_cycles: int = 4      # recompute the shared x-update
                                       # factor (Ruiz scaling + structured
                                       # inverse) only every k-th replan

@@ -339,3 +339,33 @@ def test_folded_refine_operator_matches_closed_form():
         a = np.asarray(m_apply(v))
         b = np.asarray(m_folded(v))
         assert np.abs(a - b).max() <= 1e-5 * (np.abs(a).max() + 1.0)
+
+
+def test_flat_iteration_matches_grouped():
+    """SolverConfig.flat_iter (ops/admm._solve_flat): the flat-constraint-
+    space scan must reproduce the grouped ConVec path's iterates — primal
+    to f32 roundoff, duals to small relative error (the z-clip boundary
+    amplifies last-ulp differences discretely on rows that sit exactly at
+    a bound, so duals are compared relatively per group)."""
+    import dataclasses
+    from intent_mpc_tpu.ops.admm import admm_factor, admm_solve
+    from intent_mpc_tpu.utils.config import PlannerConfig
+
+    cfg = PlannerConfig(horizon=12, max_obstacles=6)
+    qp, _, _ = _build_both(cfg, 6, 3, with_static=True)
+    fac = admm_factor(cfg, qp)
+    warm = jnp.zeros(cfg.num_vars)
+    for mode, x0m in (("cg", "prev"), ("cg", "minv"), ("stationary", "prev")):
+        s_group = dataclasses.replace(cfg.solver, flat_iter=False,
+                                      shared_refine_mode=mode,
+                                      shared_refine_x0=x0m)
+        s_flat = dataclasses.replace(s_group, flat_iter=True)
+        rg = admm_solve(cfg, qp, warm, 60, scfg=s_group, factor=fac)
+        rf = admm_solve(cfg, qp, warm, 60, scfg=s_flat, factor=fac)
+        assert float(jnp.max(jnp.abs(rg.x - rf.x))) < 5e-4, (mode, x0m)
+        for name, a, b in zip(("eq", "sb", "cb", "obs"), rg.y, rf.y):
+            rel = float(jnp.max(jnp.abs(a - b))) \
+                / max(float(jnp.max(jnp.abs(a))), 1e-9)
+            assert rel < 2e-3, (mode, x0m, name, rel)
+        np.testing.assert_allclose(float(rg.prim_res), float(rf.prim_res),
+                                   rtol=1e-3)
