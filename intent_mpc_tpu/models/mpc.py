@@ -588,7 +588,11 @@ def make_plan(cfg: PlannerConfig, state: PlannerState,
         has_solution=state.has_solution | accepted,
         last_ref_start=new_start,
         xref=jnp.where(accepted, xref, state.xref),
-        rho=(res.rho_suggest if cfg.solver.temporal_rho else state.rho))
+        rho=(res.rho_suggest if cfg.solver.temporal_rho else state.rho),
+        # carried shared-factor fields pass through untouched (the
+        # non-predictor path factors per solve)
+        fac_d=state.fac_d, fac_e=state.fac_e, fac_c=state.fac_c,
+        fac_minv=state.fac_minv)
     one = jnp.zeros(6, bool).at[0].set(accepted)
     return PlanOutput(state=new_state, valid=accepted,
                       best_idx=jnp.asarray(0, jnp.int32),

@@ -72,11 +72,16 @@ def test_fleet_kernel_in_engine_vmap():
     cfg = small_config(num_obstacles=6, horizon=10, timeout=1.0,
                        max_obstacles=6, hist=12)
     cfg = cfg.replace(goal=(8.0, 0.0, 2.0))
-    # compare both engines under the kernel's stationary recurrence
+    # compare both engines under the kernel's OWN recurrence: stationary
+    # refinement, Minv-rhs x-update guess, per-cycle factoring (the
+    # round-3 warm-start/factor-reuse defaults are XLA-path features the
+    # VMEM kernel does not implement — it is kept as a round-2-semantics
+    # hardware artifact, RESULTS.md post-mortem)
     cfg = cfg.replace(planner=dataclasses.replace(
         cfg.planner, solver=dataclasses.replace(
             cfg.planner.solver, shared_refine_mode="stationary",
-            shared_refine_iters=3)))
+            shared_refine_iters=3, shared_refine_x0="minv",
+            factor_reuse_cycles=1)))
     cfg_f = cfg.replace(planner=dataclasses.replace(
         cfg.planner, solver=dataclasses.replace(cfg.planner.solver,
                                                 fused_solve=True)))
