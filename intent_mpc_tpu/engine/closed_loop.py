@@ -35,6 +35,7 @@ from intent_mpc_tpu.models.quad_plant import (QuadPlantConfig, QuadState,
 from intent_mpc_tpu.models.occupancy import (OccupancyGrid, empty_grid,
                                              is_occupied)
 from intent_mpc_tpu.models.world import Scenario, obstacle_state
+from intent_mpc_tpu.engine.ref_builder import build_goal_ref
 from intent_mpc_tpu.utils.config import IntentMPCConfig
 
 
@@ -106,12 +107,28 @@ class EngineCarry(NamedTuple):
                                  # pos/vel mirror it then)
     done: jnp.ndarray            # monitor goal criterion met
     metrics: Metrics
+    # goal-mode composed-reference state (ref_mode "minsnap"/"global" only;
+    # None otherwise so the default carry stays lean). The reference builds
+    # its MPC input trajectory once per refTrajReady_=false pass
+    # (mpcNavigation.cpp:239-290) and keeps it until the next stop+replan.
+    ref_traj: Optional[jnp.ndarray] = None   # (L, 3) committed input traj
+    ref_len: Optional[jnp.ndarray] = None    # int32 valid waypoints
+    need_ref: Optional[jnp.ndarray] = None   # bool (refTrajReady_ == false)
 
 
-def init_carry(cfg: IntentMPCConfig, scenario: Scenario) -> EngineCarry:
+def init_carry(cfg: IntentMPCConfig, scenario: Scenario,
+               ref_len: Optional[int] = None) -> EngineCarry:
     pos0, _ = obstacle_state(scenario, jnp.asarray(0.0))
     start = jnp.asarray(cfg.start, jnp.float32)
+    composed = cfg.engine.goal_mode and cfg.engine.ref_mode != "linspace"
+    if composed and ref_len is None:
+        raise ValueError("goal mode with ref_mode %r needs init_carry's "
+                         "ref_len (the input-trajectory array length)"
+                         % cfg.engine.ref_mode)
     return EngineCarry(
+        ref_traj=jnp.zeros((ref_len, 3), jnp.float32) if composed else None,
+        ref_len=jnp.asarray(2, jnp.int32) if composed else None,
+        need_ref=jnp.asarray(True) if composed else None,
         pos=start, vel=jnp.zeros(3, jnp.float32),
         detector=det.init_detector(scenario.origin.shape[0], cfg.detector, pos0),
         planner=mpclib.init_planner_state(cfg.planner),
@@ -202,12 +219,14 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
                  ref_traj: jnp.ndarray, traj_len: jnp.ndarray,
                  occ: OccupancyGrid, carry: EngineCarry, cycle_idx: jnp.ndarray,
                  solver_iters: Optional[int] = None,
-                 solve_override=None
+                 solve_override=None,
+                 ref_key: Optional[jnp.ndarray] = None
                  ) -> Tuple[EngineCarry, jnp.ndarray]:
     """One 10 Hz MPC cycle + its 10 control ticks.
 
     solve_override: optional `(qps, warm6) -> ADMMResult` replacing the
-    batched ADMM inside make_plan_with_pred (oracle-in-the-loop runs)."""
+    batched ADMM inside make_plan_with_pred (oracle-in-the-loop runs).
+    ref_key: PRNG key for the goal-mode RRT route (ref_mode "global")."""
     ecfg = cfg.engine
     cycle_dt = ecfg.control_dt * ecfg.ticks_per_cycle
     t0 = cycle_idx.astype(jnp.float32) * cycle_dt
@@ -248,13 +267,48 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         lambda fresh, cur: jnp.where(stop_replan, fresh, cur),
         mpclib.init_planner_state(cfg.planner), carry.planner)
     ref_anchor = jnp.where(stop_replan, carry.pos, carry.ref_anchor)
-    if ecfg.goal_mode:
-        # the reference rebuilds its MPC input trajectory from current
-        # odom -> goal after every stop (mpcCB :268-288, 2-waypoint
-        # min-snap; over an empty corridor that is the straight segment)
+    build_cycle = jnp.asarray(False)
+    if ecfg.goal_mode and ecfg.ref_mode == "linspace":
+        # round-3 behavior: straight-segment input trajectory rebuilt from
+        # the anchor every cycle (valid only over an empty corridor — the
+        # reference never feeds the MPC a raw line, see ref_builder)
         L = ref_traj.shape[0]
         ref_traj = jnp.linspace(ref_anchor, goal, L)
         traj_len = jnp.asarray(L)
+    elif ecfg.goal_mode:
+        # composed input trajectory (mpcNavigation.cpp:239-290): on a
+        # refTrajReady_=false pass, [RRT ->] corridor-constrained min-snap
+        # from current odom -> goal, sampled at 0.1 s; the build pass does
+        # NOT solve the MPC (the reference's if/else on refTrajReady_) and
+        # the trajectory is kept until the next stop+replan
+        # stop pass -> build pass -> solve pass, like the reference's
+        # refTrajReady_ handshake (stop() clears it; the next mpcCB pass
+        # only builds; the pass after solves)
+        L = ref_traj.shape[0]
+        build_cycle = carry.need_ref & ~stop_replan & active
+        if ref_key is None:
+            ref_key = jax.random.PRNGKey(0)
+
+        def _build(_):
+            k = jax.random.fold_in(ref_key, cycle_idx)
+            r, n, _, route_ok = build_goal_ref(ecfg, occ, carry.pos, goal,
+                                               k, L, dt=cfg.planner.ts)
+            return r, n, route_ok
+
+        ref_new, len_new, route_ok = jax.lax.cond(
+            build_cycle, _build,
+            lambda _: (carry.ref_traj, carry.ref_len, jnp.asarray(True)),
+            None)
+        # a build with no RRT route is not committed: the engine holds and
+        # retries next cycle with a fresh fold of the key (the reference
+        # keeps replanning at its mpcCB cadence until RRT succeeds)
+        build_committed = build_cycle & route_ok
+        ref_traj = jnp.where(build_committed, ref_new, carry.ref_traj)
+        traj_len = jnp.where(build_committed, len_new, carry.ref_len)
+        # updatePath resets the planner warm state (mpcFirstTime_)
+        planner_in = jax.tree.map(
+            lambda fresh, cur: jnp.where(build_committed, fresh, cur),
+            mpclib.init_planner_state(cfg.planner), planner_in)
 
     # ---- predictor + MPC (mpcCB :290-365) ----
     if ecfg.use_predictor:
@@ -276,7 +330,8 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
     # stop_replan / goal_invalid cycles hold position and do not commit a
     # plan (the reference's stop() + mpcTrajectoryReady_=false; the replan
     # resumes next cycle from the reset warm state)
-    run_mpc = active & ~carry.stopping & ~stop_replan & ~goal_invalid
+    run_mpc = active & ~carry.stopping & ~stop_replan & ~goal_invalid \
+        & ~build_cycle
     planner = jax.tree.map(
         lambda new, old: jnp.where(run_mpc, new, old),
         plan_out.state, planner_in)
@@ -465,7 +520,14 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         # held position (the reference rebuilds its input traj from
         # current odom once refTrajReady_ is false, mpcCB :268-288)
         ref_anchor=jnp.where(stop_replan, pos, ref_anchor),
-        quad=quad, done=done, metrics=metrics)
+        quad=quad, done=done, metrics=metrics,
+        # composed modes: the freshly built trajectory is committed and
+        # refTrajReady_ flips true; any stop+replan this cycle (including
+        # the post-commit vet) re-arms the builder for next cycle
+        ref_traj=None if carry.ref_traj is None else ref_traj,
+        ref_len=None if carry.ref_len is None else traj_len,
+        need_ref=None if carry.need_ref is None else
+        (carry.need_ref & ~build_committed) | stop_replan)
     return new_carry, pos
 
 
@@ -475,15 +537,17 @@ def run_episode(cfg: IntentMPCConfig, scenario: Scenario,
                 solver_iters: Optional[int] = None,
                 num_cycles: Optional[int] = None,
                 record_path: bool = False,
-                solve_override=None):
+                solve_override=None,
+                ref_key: Optional[jnp.ndarray] = None):
     """Run one full episode; returns (final EngineCarry, path (C,3) or None)."""
     occ = occ if occ is not None else empty_grid()
     n = num_cycles if num_cycles is not None else cfg.engine.num_cycles
-    carry0 = init_carry(cfg, scenario)
+    carry0 = init_carry(cfg, scenario, ref_len=ref_traj.shape[0])
 
     def step(c, i):
         c2, p = episode_step(cfg, scenario, ref_traj, traj_len, occ, c, i,
-                             solver_iters, solve_override=solve_override)
+                             solver_iters, solve_override=solve_override,
+                             ref_key=ref_key)
         return c2, (p if record_path else None)
 
     carry, path = jax.lax.scan(step, carry0, jnp.arange(n))

