@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from intent_mpc_tpu.models import detector as det
+from intent_mpc_tpu.models import real_detector as rdet
 from intent_mpc_tpu.models import mpc as mpclib
 from intent_mpc_tpu.models import predictor as predlib
 from intent_mpc_tpu.models.controller import (ControllerState, acc_command,
@@ -114,6 +115,10 @@ class EngineCarry(NamedTuple):
     ref_traj: Optional[jnp.ndarray] = None   # (L, 3) committed input traj
     ref_len: Optional[jnp.ndarray] = None    # int32 valid waypoints
     need_ref: Optional[jnp.ndarray] = None   # bool (refTrajReady_ == false)
+    # real-perception mode (use_fake_detector=False): the depth-camera
+    # track table + per-track history rings (models/real_detector.py);
+    # None on the GT path so the default carry stays lean
+    real_det: Optional[rdet.RealDetectorState] = None
 
 
 def init_carry(cfg: IntentMPCConfig, scenario: Scenario,
@@ -129,6 +134,8 @@ def init_carry(cfg: IntentMPCConfig, scenario: Scenario,
         ref_traj=jnp.zeros((ref_len, 3), jnp.float32) if composed else None,
         ref_len=jnp.asarray(2, jnp.int32) if composed else None,
         need_ref=jnp.asarray(True) if composed else None,
+        real_det=None if cfg.engine.use_fake_detector else
+        rdet.init_real_detector(cfg.real_detector, cfg.detector),
         pos=start, vel=jnp.zeros(3, jnp.float32),
         detector=det.init_detector(scenario.origin.shape[0], cfg.detector, pos0),
         planner=mpclib.init_planner_state(cfg.planner),
@@ -235,11 +242,24 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
 
     # ---- detector updates at cycle start ----
     obs_pos0, _ = obstacle_state(scenario, t0)
-    d = det.fd_update(cfg.detector, carry.detector, obs_pos0, t0)
-    d = det.hist_push(d, obs_pos0)
-
-    pos_h, vel_h, acc_h, size_h, hist_len, visible = det.query_history(
-        cfg.detector, d, scenario.bbox, carry.pos)
+    obs_all = jnp.ones(obs_pos0.shape[0], bool)
+    if ecfg.use_fake_detector:
+        d = det.fd_update(cfg.detector, carry.detector, obs_pos0, t0)
+        d = det.hist_push(d, obs_pos0)
+        rd = carry.real_det
+        pos_h, vel_h, acc_h, size_h, hist_len, visible = det.query_history(
+            cfg.detector, d, scenario.bbox, carry.pos)
+    else:
+        # real perception (use_fake_detector=false, mpcNavigation.cpp:
+        # 129-136): render a depth frame at the drone's pose, run the
+        # detect/track/classify stack, and query TRACK histories — the
+        # GT obstacle boxes below are only the scene the camera images
+        d = carry.detector
+        rd = rdet.sense_and_track(cfg.real_detector, cfg.detector,
+                                  carry.real_det, carry.pos, carry.yaw,
+                                  obs_pos0, scenario.bbox, obs_all, occ)
+        pos_h, vel_h, acc_h, size_h, hist_len, visible = rdet.query_history(
+            cfg.real_detector, cfg.detector, rd, carry.pos)
 
     # ---- replan-check collision monitor (replanCheckCB :414-422, :460-480) ----
     false = jnp.asarray(False)
@@ -444,8 +464,14 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         obs_pos_t, _ = obstacle_state(scenario, tk + ecfg.control_dt)
         # ~30 Hz history pushes; tick 0's push is the cycle-start push above
         if k in ecfg.hist_ticks and k != 0:
-            d2 = det.fd_update(cfg.detector, d, obs_pos_t, tk + ecfg.control_dt)
-            d = det.hist_push(d2, obs_pos_t)
+            if ecfg.use_fake_detector:
+                d2 = det.fd_update(cfg.detector, d, obs_pos_t,
+                                   tk + ecfg.control_dt)
+                d = det.hist_push(d2, obs_pos_t)
+            else:
+                rd = rdet.sense_and_track(cfg.real_detector, cfg.detector,
+                                          rd, pos, yaw, obs_pos_t,
+                                          scenario.bbox, obs_all, occ)
 
         # ---- monitor updates (masked once done) ----
         m = metrics
@@ -527,7 +553,8 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         ref_traj=None if carry.ref_traj is None else ref_traj,
         ref_len=None if carry.ref_len is None else traj_len,
         need_ref=None if carry.need_ref is None else
-        (carry.need_ref & ~build_committed) | stop_replan)
+        (carry.need_ref & ~build_committed) | stop_replan,
+        real_det=rd)
     return new_carry, pos
 
 

@@ -461,6 +461,17 @@ class EngineConfig:
     use_predictor: bool = True           # autonomous_flight/use_predictor:
                                          # False -> constant-obstacle MPC
                                          # (updateDynamicObstacles + makePlan)
+    use_fake_detector: bool = True       # mpcNavigation.cpp:129-136: True
+                                         # selects the GT fake detector
+                                         # (models/detector.py, the DYNUS
+                                         # bench path); False flies the
+                                         # REAL perception stack — rendered
+                                         # depth -> DBSCAN -> KF tracks ->
+                                         # classification votes
+                                         # (models/real_detector.py) — at
+                                         # the ~30 Hz hist ticks, with the
+                                         # predictor/MPC consuming track
+                                         # histories instead of GT
     use_fov: bool = False                # FOV half-space rows in the MPC
                                          # (the reference's 3-argument
                                          # updateCurrStates with the camera
@@ -542,6 +553,7 @@ class IntentMPCConfig:
 
     world: WorldConfig = WorldConfig()
     detector: DetectorConfig = DetectorConfig()
+    real_detector: RealDetectorConfig = RealDetectorConfig()
     predictor: PredictorConfig = PredictorConfig()
     planner: PlannerConfig = PlannerConfig()
     control: ControlConfig = ControlConfig()
