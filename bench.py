@@ -29,6 +29,11 @@ def main():
                          "36/64/96/112 measure far below 40/56/80/128.")
     ap.add_argument("--cycles", type=int, default=10,
                     help="timed MPC cycles")
+    ap.add_argument("--no-pad", action="store_true",
+                    help="run the requested batch tiling raw instead of "
+                         "padding up to the next certified-good size "
+                         "(harness.GOOD_BATCH_SIZES) — exposes the XLA "
+                         "tiling cliffs for measurement")
     ap.add_argument("--obstacles", type=int, default=200)
     ap.add_argument("--iters", type=int, default=None,
                     help="ADMM iterations per solve (default: config)")
@@ -120,7 +125,17 @@ def main():
     traj_len = jnp.asarray(ref.shape[0])
     occ = empty_grid()
 
-    scenarios = sh.stack_scenarios(cfg, range(args.batch))
+    # cliff batches pad up to the next certified tiling; throughput counts
+    # only the REQUESTED scenarios' solves (the padding rows are overhead),
+    # which still beats the raw cliff tiling 2-3x (RESULTS.md batch curve)
+    from intent_mpc_tpu.benchmark.harness import padded_batch_size
+    run_batch = args.batch if args.no_pad else padded_batch_size(args.batch)
+    if run_batch != args.batch:
+        print(f"# batch {args.batch} sits on a tiling cliff: padded to "
+              f"{run_batch} (throughput counts the requested "
+              f"{args.batch} only; --no-pad disables)", file=sys.stderr)
+
+    scenarios = sh.stack_scenarios(cfg, range(run_batch))
 
     @jax.jit
     def run_cycles(carry, start):
@@ -167,7 +182,7 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(sps / 1000.0, 3),
     }))
-    print(f"# batch={args.batch} cycles={args.cycles} "
+    print(f"# batch={args.batch} (run={run_batch}) cycles={args.cycles} "
           f"obstacles={args.obstacles} elapsed={elapsed:.3f}s "
           f"cycle={cycle_ms:.1f}ms compile={compile_time:.1f}s "
           f"device={jax.devices()[0].platform}", file=sys.stderr)

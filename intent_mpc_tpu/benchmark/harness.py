@@ -14,6 +14,7 @@ import csv
 import dataclasses
 import json
 import os
+import sys
 import time
 from functools import partial
 from typing import List, Optional, Sequence
@@ -40,48 +41,119 @@ from intent_mpc_tpu.utils.config import IntentMPCConfig
 # conservative for every tiling measured.
 SAFE_SINGLE_DISPATCH_CYCLES = 512
 
+# Certified-good XLA batch tilings on the tunnel chip (RESULTS.md batch
+# curve): 36/48/64/96/112 fall 2-3x below these neighbors. Requested
+# batches between the good points are padded UP and the padding rows
+# dropped — a padded run at the next good tiling beats the raw cliff
+# tiling by 2-3x even after paying for the extra scenarios.
+GOOD_BATCH_SIZES = (32, 40, 56, 80, 128)
+
+
+def padded_batch_size(n: int) -> int:
+    """Round a requested batch up to the next certified-good tiling.
+
+    <=32 and exact good sizes pass through; 32<n<128 rounds to the next
+    good point; >128 rounds to a multiple of 128 (the measured peak
+    tiling)."""
+    if n <= GOOD_BATCH_SIZES[0] or n in GOOD_BATCH_SIZES:
+        return n
+    if n < GOOD_BATCH_SIZES[-1]:
+        return min(g for g in GOOD_BATCH_SIZES if g >= n)
+    return -(-n // 128) * 128
+
 
 def run_trials(cfg: IntentMPCConfig, seeds: Sequence[int],
                mesh=None, solver_iters: Optional[int] = None,
-               num_cycles: Optional[int] = None) -> List[dict]:
+               num_cycles: Optional[int] = None,
+               pad_batch: Optional[bool] = None,
+               chunk_cycles: Optional[int] = None) -> List[dict]:
     """Run one trial per seed (batched on device); returns per-trial rows.
 
     On a real TPU, episode scans longer than SAFE_SINGLE_DISPATCH_CYCLES
-    are automatically split into multiple dispatches (in-memory carry,
-    no checkpoint file) — see the envelope note above."""
+    are automatically split into multiple dispatches (in-memory carry, no
+    checkpoint file) — sharded (mesh) fleets included: the crash envelope
+    is per dispatched program on every tiling measured. Requested batch
+    sizes that sit on a measured XLA tiling cliff are padded up to the
+    next GOOD_BATCH_SIZES entry with extra seeds and the padding rows
+    dropped (pad_batch=None: auto on TPU without a mesh; mesh batches
+    must stay divisible by the device count so the caller controls them).
+    chunk_cycles overrides the dispatch-split threshold (tests)."""
+    seeds = list(seeds)
+    n_req = len(seeds)
+    if pad_batch is None:
+        pad_batch = mesh is None and jax.devices()[0].platform == "tpu"
+    if pad_batch:
+        n_pad = padded_batch_size(n_req)
+        if n_pad != n_req:
+            base = max(seeds) + 1
+            seeds = seeds + [base + i for i in range(n_pad - n_req)]
     ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)
     traj_len = jnp.asarray(ref.shape[0])
     scenarios = sh.stack_scenarios(cfg, seeds)
     total = num_cycles if num_cycles is not None else cfg.engine.num_cycles
-    if (mesh is None and total > SAFE_SINGLE_DISPATCH_CYCLES
-            and jax.devices()[0].platform == "tpu"):
+    if chunk_cycles is None and jax.devices()[0].platform == "tpu":
+        chunk_cycles = SAFE_SINGLE_DISPATCH_CYCLES
+    if chunk_cycles is not None and total > chunk_cycles:
         from intent_mpc_tpu.engine import closed_loop as cl
         from intent_mpc_tpu.models.occupancy import empty_grid
         occ = empty_grid()
-        chunk = SAFE_SINGLE_DISPATCH_CYCLES
+        chunk = chunk_cycles
 
-        @partial(jax.jit, static_argnames=("n",))
-        def run_chunk(carry, start_idx, n):
+        def local_chunk(carry, scen, start_idx, n):
             def step(c, i):
                 c2, _ = jax.vmap(lambda cc, s: cl.episode_step(
                     cfg, s, ref, traj_len, occ, cc, i,
-                    solver_iters=solver_iters))(c, scenarios)
+                    solver_iters=solver_iters))(c, scen)
                 return c2, None
             c, _ = jax.lax.scan(step, carry, start_idx + jnp.arange(n))
             return c
 
-        carry = jax.vmap(lambda s: cl.init_carry(cfg, s))(scenarios)
-        start = 0
-        while start < total:
-            n = min(chunk, total - start)
-            carry = run_chunk(carry, jnp.asarray(start, jnp.int32), n)
-            jax.block_until_ready(carry)
-            start += n
-        return _rows_from_metrics(cfg, seeds, carry.metrics)
+        if mesh is not None:
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            scenarios = sh.shard_scenarios(scenarios, mesh)
+            carry = jax.jit(
+                jax.vmap(lambda s: cl.init_carry(cfg, s)),
+                out_shardings=NamedSharding(mesh, P("batch")))(scenarios)
+
+            def make_chunk(n):
+                @partial(shard_map, mesh=mesh,
+                         in_specs=(P("batch"), P("batch"), P()),
+                         out_specs=P("batch"), check_vma=False)
+                def chunk_shard(c, scen, start_idx):
+                    return local_chunk(c, scen, start_idx, n)
+                return jax.jit(chunk_shard)
+
+            compiled = {}
+            start = 0
+            while start < total:
+                n = min(chunk, total - start)
+                if n not in compiled:
+                    compiled[n] = make_chunk(n)
+                carry = compiled[n](carry, scenarios,
+                                    jnp.asarray(start, jnp.int32))
+                jax.block_until_ready(carry)
+                start += n
+        else:
+            @partial(jax.jit, static_argnames=("n",))
+            def run_chunk(carry, start_idx, n):
+                return local_chunk(carry, scenarios, start_idx, n)
+
+            carry = jax.vmap(lambda s: cl.init_carry(cfg, s))(scenarios)
+            start = 0
+            while start < total:
+                n = min(chunk, total - start)
+                carry = run_chunk(carry, jnp.asarray(start, jnp.int32), n)
+                jax.block_until_ready(carry)
+                start += n
+        return _rows_from_metrics(cfg, seeds, carry.metrics)[:n_req]
     metrics, _ = sh.batch_rollout(cfg, scenarios, ref, traj_len, mesh=mesh,
                                   solver_iters=solver_iters,
                                   num_cycles=num_cycles)
-    return _rows_from_metrics(cfg, seeds, metrics)
+    return _rows_from_metrics(cfg, seeds, metrics)[:n_req]
 
 
 def run_trials_checkpointed(cfg: IntentMPCConfig, seeds: Sequence[int],
@@ -264,6 +336,11 @@ def main():  # pragma: no cover
     ap.add_argument("--per-candidate-factor", action="store_true",
                     help="disable the shared-factor solve (factor every "
                          "intent candidate separately)")
+    ap.add_argument("--truncation", type=str, default=None,
+                    choices=["fixed", "osqp"],
+                    help="SolverConfig.truncation: 'osqp' emulates the "
+                         "reference's runtime termination (check every 25 "
+                         "iters, eps 1e-3, --iters as the time-limit cap)")
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="fleet checkpoint .npz: snapshot every "
                          "--chunk-cycles MPC cycles; an existing file "
@@ -294,6 +371,10 @@ def main():  # pragma: no cover
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, solver=dataclasses.replace(
                 cfg.planner.solver, shared_factor=False)))
+    if args.truncation:
+        cfg = cfg.replace(planner=dataclasses.replace(
+            cfg.planner, solver=dataclasses.replace(
+                cfg.planner.solver, truncation=args.truncation)))
     if args.fused:
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, solver=dataclasses.replace(
@@ -324,7 +405,14 @@ def main():  # pragma: no cover
                                        chunk_cycles=args.chunk_cycles,
                                        solver_iters=args.iters)
     else:
-        rows = run_trials(cfg, seeds, solver_iters=args.iters)
+        # --chunk-cycles without --checkpoint: in-memory dispatch split
+        # below the default SAFE_SINGLE_DISPATCH_CYCLES envelope (heavier
+        # per-cycle programs, e.g. --truncation osqp, crash the tunnel
+        # worker at smaller per-dispatch iteration counts)
+        explicit_chunk = ("--chunk-cycles" in sys.argv)
+        rows = run_trials(cfg, seeds, solver_iters=args.iters,
+                          chunk_cycles=(args.chunk_cycles if explicit_chunk
+                                        else None))
     elapsed = time.time() - t0
     agg = aggregate(rows)
     agg["wall_time_s"] = elapsed

@@ -170,6 +170,70 @@ def make_osqp_override(cfg: PlannerConfig, time_limit: float = 0.05,
     return override
 
 
+def run_divergence(cfg: IntentMPCConfig, seed: int, override,
+                   runtime_iters=None, truncation: str = None) -> dict:
+    """Per-cycle control divergence over a LOCKSTEP episode (VERDICT r3
+    item 3c): each replan cycle, solve the same carry TWICE — once with
+    the real-OSQP override (which flies the episode) and once with the
+    f32 runtime solver — and record the inf-norm distance between the two
+    CHOSEN control solutions (each side's own candidate scoring, i.e. the
+    command stream each solver would execute). Reported per cycle:
+      du_full  = ||controls_osqp - controls_f32||_inf over the horizon
+      du_first = same over the FIRST control step (the executed 100 ms)
+    """
+    import dataclasses as dc
+    from intent_mpc_tpu.engine import closed_loop as cl
+    from intent_mpc_tpu.models.occupancy import empty_grid
+    from intent_mpc_tpu.models.world import (generate_scenario,
+                                             straight_line_ref_traj)
+
+    if truncation:
+        cfg = cfg.replace(planner=dc.replace(cfg.planner, solver=dc.replace(
+            cfg.planner.solver, truncation=truncation)))
+    sc = generate_scenario(seed=seed, cfg=cfg.world)
+    ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)
+    traj_len = jnp.asarray(ref.shape[0])
+    occ = empty_grid()
+    H, W = cfg.planner.horizon, cfg.planner.mpc_window
+
+    @jax.jit
+    def step_osqp(carry, i):
+        return cl.episode_step(cfg, sc, ref, traj_len, occ, carry, i,
+                               solve_override=override)[0]
+
+    @jax.jit
+    def step_f32(carry, i):
+        return cl.episode_step(cfg, sc, ref, traj_len, occ, carry, i,
+                               solver_iters=runtime_iters)[0]
+
+    carry = cl.init_carry(cfg, sc)
+    du_full, du_first = [], []
+    n = cfg.engine.num_cycles
+    for i in range(n):
+        ii = jnp.asarray(i, jnp.int32)
+        c_osqp = step_osqp(carry, ii)
+        c_f32 = step_f32(carry, ii)
+        if bool(c_osqp.done) and bool(carry.done):
+            break
+        if bool(c_osqp.traj_ready) and bool(c_f32.traj_ready):
+            uo = np.asarray(c_osqp.planner.controls_sol).reshape(W, 5)[:, :3]
+            uf = np.asarray(c_f32.planner.controls_sol).reshape(W, 5)[:, :3]
+            du_full.append(float(np.abs(uo - uf).max()))
+            du_first.append(float(np.abs(uo[0] - uf[0]).max()))
+        carry = c_osqp      # the OSQP solution flies the episode
+    a_full, a_first = np.array(du_full), np.array(du_first)
+    return {
+        "seed": seed, "cycles_compared": len(du_full),
+        "du_full_mean": float(a_full.mean()),
+        "du_full_p95": float(np.percentile(a_full, 95)),
+        "du_full_max": float(a_full.max()),
+        "du_first_mean": float(a_first.mean()),
+        "du_first_p95": float(np.percentile(a_first, 95)),
+        "du_first_max": float(a_first.max()),
+        "goal_reached": bool(c_osqp.metrics.goal_reached),
+    }
+
+
 def build_cfg(args) -> IntentMPCConfig:
     cfg = IntentMPCConfig()
     planner = dataclasses.replace(cfg.planner,
@@ -206,6 +270,15 @@ def main():  # pragma: no cover
     ap.add_argument("--time-limit", type=float, default=0.05,
                     help="per-candidate OSQP time limit (planner_param."
                          "yaml solver_time_limit; 0 disables)")
+    ap.add_argument("--divergence", action="store_true",
+                    help="per-cycle lockstep control-divergence mode "
+                         "(run_divergence): fly each seed on the chosen "
+                         "solver, solving every cycle's carry with BOTH "
+                         "that solver and the f32 runtime; report "
+                         "du_full/du_first stats instead of fleet rows")
+    ap.add_argument("--runtime-truncation", type=str, default=None,
+                    choices=["fixed", "osqp"],
+                    help="f32-runtime truncation mode for --divergence")
     ap.add_argument("--out", type=str, default="results/oracle_loop")
     args = ap.parse_args()
 
@@ -230,6 +303,27 @@ def main():  # pragma: no cover
                                         eps=args.eps)
 
     os.makedirs(args.out, exist_ok=True)
+    if args.divergence:
+        rows = []
+        for seed in args.seeds:
+            t0 = time.time()
+            row = run_divergence(cfg, seed, override,
+                                 runtime_iters=args.runtime_iters,
+                                 truncation=args.runtime_truncation)
+            row["wall_s"] = round(time.time() - t0, 1)
+            rows.append(row)
+            print(f"[div seed {seed}] cycles={row['cycles_compared']} "
+                  f"du_first mean={row['du_first_mean']:.3f} "
+                  f"p95={row['du_first_p95']:.3f} "
+                  f"max={row['du_first_max']:.3f} ({row['wall_s']}s)",
+                  flush=True)
+        path = os.path.join(args.out, "divergence.json")
+        with open(path, "w") as f:
+            json.dump({"config": vars(args), "rows": rows}, f, indent=1,
+                      default=float)
+        print("wrote", path)
+        return
+
     oracle_rows = []
     for seed in args.seeds:
         sc = generate_scenario(seed=seed, cfg=cfg.world)

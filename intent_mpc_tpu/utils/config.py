@@ -184,8 +184,29 @@ class SolverConfig:
                                       # iteration; measured f32 floor cost is only
                                       # ~1.5e-3 in positions (tests use 1 for the
                                       # tightest parity)
-    eps_abs: float = 1e-3             # used only for residual reporting
+    eps_abs: float = 1e-3             # residual reporting; with
+                                      # truncation="osqp" also the
+                                      # termination tolerances
     eps_rel: float = 1e-3
+    truncation: str = "fixed"         # "fixed": run exactly max_iter
+                                      # iterations (static schedule, the
+                                      # throughput default). "osqp":
+                                      # emulate OSQP 0.6.2's runtime
+                                      # termination (VERDICT r3 item 3b):
+                                      # check the UNSCALED residuals
+                                      # every term_check_interval
+                                      # iterations (check_termination=25)
+                                      # against eps_abs/eps_rel, FREEZE a
+                                      # problem at its own convergence
+                                      # point, cap at max_iter (the
+                                      # 0.05 s time-limit analogue).
+                                      # Batched solves run until every
+                                      # lane terminates, so this trades
+                                      # throughput for solution
+                                      # consistency (the anchor-gap
+                                      # experiment, RESULTS.md)
+    term_check_interval: int = 25     # iterations between termination
+                                      # checks (OSQP check_termination)
     adaptive_rho: bool = False        # OSQP's in-solve rho adaptation +
                                       # refactorization every
                                       # adapt_interval iterations

@@ -27,7 +27,44 @@ from intent_mpc_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
+# ---------------------------------------------------------------------------
+# The "cumulative XLA:CPU segfault" is vm.max_map_count exhaustion: each
+# compiled executable holds ~3 mappings per fused kernel (~1,830 per
+# engine-class program), so one process accumulating the whole suite's
+# programs crosses Linux's default 65,530 ceiling and the compiler aborts
+# on a failed mmap (see intent_mpc_tpu/utils/hostlimits.py and
+# benchmark/xla_cpu_probe.py for the bisect). Remedy 1: raise the ceiling
+# (works when privileged — this image runs as root). Remedy 2 (fallback,
+# unprivileged): the map-budget guard below ends the session cleanly with
+# exit code 77 before the ceiling; tests/run_suite.sh resumes the
+# remaining tests in a fresh process (state file = executed node ids).
+# ---------------------------------------------------------------------------
+from intent_mpc_tpu.utils import hostlimits  # noqa: E402
+
+_HEADROOM = hostlimits.ensure_map_headroom()
+MAPGUARD_EXIT_CODE = 77
+
 import pytest  # noqa: E402
+
+
+def pytest_report_header(config):
+    return (f"vm.max_map_count={_HEADROOM['limit']} "
+            f"(raised={_HEADROOM['raised']}); XLA:CPU holds ~1.8k maps per "
+            f"engine program — see utils/hostlimits.py")
+
+
+def pytest_runtest_teardown(item, nextitem):
+    state = os.environ.get("MAPGUARD_STATE")
+    if state:
+        with open(state, "a") as f:
+            f.write(item.nodeid + "\n")
+    if (nextitem is not None
+            and hostlimits.map_budget_remaining() < hostlimits.GUARD_MARGIN):
+        pytest.exit(
+            "vm.max_map_count nearly exhausted (XLA:CPU JIT mappings); "
+            "ending the session before the compiler aborts. Resume the "
+            "remaining tests in a fresh process — tests/run_suite.sh "
+            "automates this.", returncode=MAPGUARD_EXIT_CODE)
 
 # ---------------------------------------------------------------------------
 # Two-tier suite: `pytest -m "not slow"` is the smoke gate (~2-4 min);
@@ -86,3 +123,11 @@ def pytest_collection_modifyitems(config, items):
         name = getattr(item, "originalname", None) or item.name
         if name.split("[")[0] in _SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+    # map-budget resume (tests/run_suite.sh): skip node ids a previous
+    # segment of this logical run already executed
+    state = os.environ.get("MAPGUARD_STATE")
+    if state and os.path.exists(state):
+        with open(state) as f:
+            done = set(f.read().split())
+        if done:
+            items[:] = [it for it in items if it.nodeid not in done]

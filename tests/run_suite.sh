@@ -1,0 +1,29 @@
+#!/bin/sh
+# One logical pytest run that survives the XLA:CPU map-count ceiling on
+# hosts where conftest cannot raise vm.max_map_count (unprivileged): the
+# conftest map-budget guard ends a session with exit code 77 before the
+# kernel ceiling would abort the compiler, and this wrapper resumes the
+# remaining tests in a fresh process (MAPGUARD_STATE carries the executed
+# node ids). On privileged hosts the ceiling is raised at conftest import
+# and the loop runs exactly once. Mechanism: utils/hostlimits.py.
+#
+#   sh tests/run_suite.sh -q                    # whole suite
+#   sh tests/run_suite.sh -m "not slow" -q      # fast tier
+#   sh tests/run_suite.sh -m slow -q            # slow tier
+cd "$(dirname "$0")/.."
+MAPGUARD_STATE="$(mktemp)"
+export MAPGUARD_STATE
+code=77
+ran=0
+while [ "$code" -eq 77 ]; do
+    python -m pytest tests/ -p no:cacheprovider "$@"
+    code=$?
+    # exit 5 = nothing collected; after at least one resumed segment that
+    # means "everything already ran" -> success
+    if [ "$code" -eq 5 ] && [ "$ran" -eq 1 ]; then
+        code=0
+    fi
+    ran=1
+done
+rm -f "$MAPGUARD_STATE"
+exit "$code"

@@ -369,3 +369,46 @@ def test_flat_iteration_matches_grouped():
             assert rel < 2e-3, (mode, x0m, name, rel)
         np.testing.assert_allclose(float(rg.prim_res), float(rf.prim_res),
                                    rtol=1e-3)
+
+
+def test_osqp_truncation_emulation(cfg):
+    """truncation="osqp" (SolverConfig): the solver stops a problem at
+    OSQP 0.6.2's unscaled eps_abs/eps_rel termination test, checked every
+    term_check_interval iterations, capped at max_iter — the runtime
+    protocol the reference flies (check_termination=25 + the 0.05 s time
+    limit, mpcPlanner.cpp:442-444). The frozen iterate must itself
+    satisfy the termination test whenever the criterion fired before the
+    cap, and the batched (vmapped) path must agree with the single-QP
+    path lane by lane."""
+    import dataclasses
+    from intent_mpc_tpu.ops import qp as qpops
+
+    qp, _, _ = _build_both(cfg, cfg.max_obstacles, 2, seed=3)
+    sc = dataclasses.replace(cfg.solver, truncation="osqp", max_iter=400)
+    cfg_t = dataclasses.replace(cfg, solver=sc)
+    r1 = admm_solve(cfg_t, qp)
+
+    # the returned iterate satisfies the unscaled OSQP criterion (this
+    # problem converges before the cap; the fixed-schedule solve at the
+    # same budget keeps iterating past the termination point)
+    hdiag = qpops.hessian_diag(cfg)
+    ax = qpops.a_matvec(cfg, qp, r1.x)
+    aty = qpops.at_matvec(cfg, qp, r1.y)
+    z = ax.map(lambda a, l, u: jnp.clip(a, l, u), qp.l, qp.u)
+    eps_p = sc.eps_abs + sc.eps_rel * max(float(ax.inf_norm()),
+                                          float(z.inf_norm()))
+    eps_d = sc.eps_abs + sc.eps_rel * max(
+        float(jnp.max(jnp.abs(hdiag * r1.x))),
+        float(jnp.max(jnp.abs(aty))), float(jnp.max(jnp.abs(qp.q))))
+    assert float(r1.prim_res) < eps_p
+    assert float(jnp.max(jnp.abs(hdiag * r1.x + qp.q + aty))) < eps_d
+
+    # batched solve agrees with the single path (vmapped while_loop
+    # compiles the block scan with different fusion -> f32 noise only)
+    # and identical lanes stay bit-identical
+    qps = jax.tree.map(lambda a: jnp.stack([a, a]), qp)
+    rb = jax.jit(jax.vmap(lambda q: admm_solve(cfg_t, q)))(qps)
+    np.testing.assert_allclose(np.asarray(rb.x[0]), np.asarray(r1.x),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rb.x[1]), np.asarray(rb.x[0]),
+                               atol=0)
