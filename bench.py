@@ -70,6 +70,12 @@ def main():
     ap.add_argument("--flat-iter", action="store_true",
                     help="flat-constraint-space iteration (SolverConfig."
                          "flat_iter)")
+    ap.add_argument("--ew-kernel", action="store_true",
+                    help="fused elementwise-chain Pallas kernel "
+                         "(SolverConfig.ew_kernel, ops/pallas_ew.py)")
+    ap.add_argument("--minv-bf16", action="store_true",
+                    help="store the shared x-update preconditioner in "
+                         "bfloat16 (SolverConfig.minv_dtype)")
     ap.add_argument("--per-candidate-factor", action="store_true",
                     help="disable the shared-factor solve (factor every "
                          "intent candidate separately, the pre-r1 default)")
@@ -103,7 +109,8 @@ def main():
         cfg = cfg.replace(planner=planner)
     if (args.refine is not None or args.refine_mode is not None
             or args.folded_refine or args.refine_x0 is not None
-            or args.factor_reuse is not None or args.flat_iter):
+            or args.factor_reuse is not None or args.flat_iter
+            or args.ew_kernel or args.minv_bf16):
         sv = cfg.planner.solver
         sv = dataclasses.replace(
             sv,
@@ -117,7 +124,9 @@ def main():
             factor_reuse_cycles=(args.factor_reuse
                                  if args.factor_reuse is not None
                                  else sv.factor_reuse_cycles),
-            flat_iter=args.flat_iter or sv.flat_iter)
+            flat_iter=args.flat_iter or sv.flat_iter,
+            ew_kernel=args.ew_kernel or sv.ew_kernel,
+            minv_dtype="bf16" if args.minv_bf16 else sv.minv_dtype)
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, solver=sv))
 

@@ -37,6 +37,12 @@ def main():
                     help="replace the engine body with a plain matmul scan "
                          "of comparable duration (isolates engine-specific "
                          "state from pure long-execution behavior)")
+    ap.add_argument("--plant", type=str, default=None,
+                    choices=["double_integrator", "quadrotor"],
+                    help="production plant variant (EngineConfig.plant)")
+    ap.add_argument("--goal-mode", action="store_true",
+                    help="goal-mode program shape (EngineConfig.goal_mode, "
+                         "linspace reference)")
     args = ap.parse_args()
 
     import jax
@@ -75,6 +81,11 @@ def main():
     cfg = IntentMPCConfig()
     cfg = cfg.replace(world=dataclasses.replace(
         cfg.world, num_obstacles=args.obstacles))
+    if args.plant or args.goal_mode:
+        cfg = cfg.replace(engine=dataclasses.replace(
+            cfg.engine,
+            plant=(args.plant if args.plant else cfg.engine.plant),
+            goal_mode=args.goal_mode or cfg.engine.goal_mode))
     ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)
     traj_len = jnp.asarray(ref.shape[0])
     occ = empty_grid()

@@ -82,7 +82,12 @@ def init_planner_state(cfg: PlannerConfig) -> PlannerState:
                                # branch in make_plan_with_pred)
                                obs=jnp.ones((W, K + 1), jnp.float32)),
             fac_c=jnp.ones((), jnp.float32),
-            fac_minv=jnp.eye(n, dtype=jnp.float32))
+            # dtype must match admm_factor's output (the factor-reuse
+            # lax.cond carries it): bf16 when the shared preconditioner
+            # is stored bf16 (SolverConfig.minv_dtype)
+            fac_minv=jnp.eye(n, dtype=(jnp.bfloat16
+                                       if cfg.solver.minv_dtype == "bf16"
+                                       else jnp.float32)))
     else:
         fac = {}
     return PlannerState(

@@ -256,6 +256,11 @@ def admm_factor(cfg: PlannerConfig, qp: QPData,
     rho = qplib.rho_vec(cfg, qp, rho_base, scfg.rho_eq_scale)
     rho_inner = rho.map(lambda r, e: r * e * e, E)
     Minv = _explicit_minv(cfg, qp, h_s, scfg, rho_inner, D)
+    if scfg.minv_dtype == "bf16":
+        # preconditioner-only storage (see SolverConfig.minv_dtype):
+        # halves the iteration's dominant HBM read; CG's exact f32
+        # residuals/steps keep the x-update fixed point unchanged
+        Minv = Minv.astype(jnp.bfloat16)
     return Factor(D=D, E=E, c=c, Minv=Minv, qp_mean=qp)
 
 
@@ -569,7 +574,7 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
     warm_x0 = (factor is not None and scfg.shared_refine_mode == "cg"
                and scfg.shared_refine_x0 == "prev")
 
-    def make_step(refine_k: int):
+    def make_step(refine_k: int, ew: bool = False):
         def msolve_cg(rhs, x_init):
             # preconditioned CG on this candidate's normal system with the
             # shared Minv as preconditioner: per step the same two applies
@@ -616,6 +621,23 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
                 x = x + jnp.matmul(Minv, r, precision=_PREC)
             return x
 
+        if ew:
+            # fused elementwise chain (ops/pallas_ew.py): the whole
+            # relax/project/dual/x-blend chain plus the NEXT iteration's
+            # rho*z - y in ONE kernel dispatch; the carry gains rzy so
+            # the chain's tail feeds the next at_s directly
+            from intent_mpc_tpu.ops.pallas_ew import ew_chain
+
+            def step_ew(carry, _):
+                x, z, y, xt_prev, rzy = carry
+                rhs = sigma * x - q_s + at_s(rzy)
+                x_t = msolve(rhs, xt_prev if warm_x0 else None)
+                z_t = a_s(x_t)
+                x_n, z_n, y_n, rzy_n = ew_chain(alpha, x, x_t, z, y, z_t,
+                                                rho, l_s, u_s)
+                return (x_n, z_n, y_n, x_t, rzy_n), None
+            return step_ew
+
         def step(carry, _):
             x, z, y, xt_prev = carry
             rz_y = z.map(lambda zi, ri, yi: ri * zi - yi, rho, y)
@@ -634,7 +656,7 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
         return step
 
     if x0 is None:
-        x0 = jnp.zeros(n, Minv.dtype)
+        x0 = jnp.zeros(n, jnp.float32)
     xs0 = x0 / D                 # to scaled space
     z0 = a_s(xs0)
     y0 = ConVec(*(jnp.zeros_like(a) for a in z0))
@@ -702,6 +724,12 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
         # ~4x fewer ops per iteration
         xs, zs, ys = _solve_flat(cfg, qp, scfg, factor, D, E, c, h_s,
                                  q_s, rho, xs0, iters)
+    elif scfg.ew_kernel and custom_msolve is None and warm == 0:
+        rzy0 = z0.map(lambda zi, ri, yi: ri * zi - yi, rho, y0)
+        carry = (xs0, z0, y0, xs0, rzy0)
+        carry, _ = jax.lax.scan(make_step(refine, ew=True), carry, None,
+                                length=iters)
+        xs, zs, ys = carry[0], carry[1], carry[2]
     else:
         carry = (xs0, z0, y0, xs0)
         if warm > 0:

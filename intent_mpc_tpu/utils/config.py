@@ -332,6 +332,41 @@ class SolverConfig:
                                       # (2 showed 2/16 timeouts), cg-1
                                       # fails (7/16 timeouts) — the gate
                                       # results live in RESULTS.md
+    minv_dtype: str = "f32"           # dtype of the SHARED x-update
+                                      # factor (admm_factor's explicit
+                                      # inverse). "bf16" would halve the
+                                      # iteration's dominant HBM term
+                                      # (the (n,n) inverse re-read per
+                                      # preconditioner apply) and is
+                                      # formally safe — CG evaluates the
+                                      # exact f32 normal operator — but
+                                      # MEASURED NEGATIVE on quality
+                                      # grounds before perf was even
+                                      # timed: the ~0.4% preconditioner
+                                      # perturbation collapses CG-2's
+                                      # per-iteration residual reduction
+                                      # on this ill-conditioned QP class
+                                      # (standalone horizon-10 solve:
+                                      # prim_res 1.03 vs ~1e-2 f32 at a
+                                      # 400-iteration budget —
+                                      # test_qp.test_bf16_...). Same
+                                      # landmine as the fused kernel's
+                                      # bf16x6 dots (RESULTS.md
+                                      # post-mortem); kept as a flag +
+                                      # pinned negative
+    ew_kernel: bool = False           # fuse the per-iteration elementwise
+                                      # relax/project/dual/x-blend chain
+                                      # (plus the next iteration's
+                                      # rho*z - y) into ONE Pallas VPU
+                                      # kernel dispatch per iteration
+                                      # (ops/pallas_ew.py) — the
+                                      # roofline's dispatch-gap attack
+                                      # with NO matmuls in-kernel (the
+                                      # bf16-dot landmine of the fused
+                                      # fleet kernel is never touched).
+                                      # Math identical to the grouped
+                                      # chain (test_pallas_ew pins it);
+                                      # measured numbers in RESULTS.md
     flat_iter: bool = False           # run the shared-factor ADMM scan in
                                       # FLAT constraint space: z/y as one
                                       # (m,) vector, the qp-invariant

@@ -412,3 +412,37 @@ def test_osqp_truncation_emulation(cfg):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(rb.x[1]), np.asarray(rb.x[0]),
                                atol=0)
+
+
+def test_bf16_preconditioner_matches_f32(cfg):
+    """SolverConfig.minv_dtype="bf16" is a PINNED MEASURED NEGATIVE:
+    storing the shared preconditioner in bf16 is formally safe (CG's
+    residuals/steps evaluate the exact f32 operator) but the ~0.4%
+    preconditioner perturbation collapses CG-2's residual reduction on
+    this ill-conditioned QP class — the same precision landmine that
+    killed the fused kernel's bf16 dots (RESULTS.md post-mortem). This
+    test pins the mechanics (dtype flows end to end, iterates stay in
+    the same trajectory family, no divergence) and the NEGATIVE itself
+    (primal residual an order of magnitude above the f32 solve at the
+    same budget), so a future jax/XLA change that fixes the regime is
+    noticed."""
+    import dataclasses
+    qp, _, _ = _build_both(cfg, cfg.max_obstacles, 2, seed=5)
+    fac32 = admm_factor(cfg, qp)
+    r32 = admm_solve(cfg, qp, factor=fac32)
+    scb = dataclasses.replace(cfg.solver, minv_dtype="bf16")
+    cfgb = dataclasses.replace(cfg, solver=scb)
+    facb = admm_factor(cfgb, qp, scfg=scb)
+    assert facb.Minv.dtype == jnp.bfloat16
+    rb = admm_solve(cfgb, qp, factor=facb)
+    assert rb.x.dtype == jnp.float32
+    H = cfg.horizon
+    p32 = np.asarray(r32.x[:8 * H]).reshape(H, 8)[:, :3]
+    pb = np.asarray(rb.x[:8 * H]).reshape(H, 8)[:, :3]
+    # same trajectory family (sub-meter), not bitwise parity
+    np.testing.assert_allclose(pb, p32, atol=0.5)
+    # the pinned negative: residual reduction collapses (f32 converges
+    # to ~1e-2 at this budget; bf16 preconditioning strands it ~1e0).
+    # If this ever starts PASSING tighter bounds, re-evaluate the mode.
+    assert float(r32.prim_res) < 5e-2
+    assert float(rb.prim_res) > 10 * float(r32.prim_res)
