@@ -39,6 +39,16 @@ from intent_mpc_tpu.utils.config import IntentMPCConfig
 # program, consistent with a per-body-iteration resource leak in the
 # worker whose rate depends on the program's tiling. 512 cycles is
 # conservative for every tiling measured.
+#
+# Round-4 per-shape certification at THIS envelope (crash_probe, each a
+# single 512-cycle dispatch, VERDICT r3 item 6b): batch 32 OK, batch 80
+# OK, batch 128 OK (round 3: OK at 700), plant="quadrotor" @32 OK,
+# goal_mode @32 OK. One caveat measured the hard way: a HEAVIER
+# per-cycle program can crash the worker well below 512 — the
+# truncation="osqp" engine program (up to 10x the per-cycle iteration
+# count) killed the worker on its FIRST 512-cycle dispatch and runs
+# cleanly at --chunk-cycles 50 — so callers changing the per-cycle
+# program class should re-probe or pass an explicit chunk_cycles.
 SAFE_SINGLE_DISPATCH_CYCLES = 512
 
 # Certified-good XLA batch tilings on the tunnel chip (RESULTS.md batch

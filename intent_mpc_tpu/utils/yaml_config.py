@@ -11,6 +11,7 @@ Supported layout (one file, sections optional):
     planner:   {horizon: 30, y_range: [-5, 5], ...}
     predictor: {num_pred: 30, ...}
     detector:  {history_size: 100, ...}
+    real_detector: {im_h: 64, max_tracks: 8, ...}  # dynamic_detector_param
     world:     {num_obstacles: 200, ...}
     engine:    {timeout: 100.0, ...}
     control:   {position_p: [2, 2, 1.8], ...}
@@ -49,8 +50,8 @@ def from_dict(d: Mapping[str, Any],
     sections = dict(d)
     solver_upd = sections.pop("solver", None)
     out = {}
-    for name in ("world", "detector", "predictor", "planner", "control",
-                 "engine"):
+    for name in ("world", "detector", "real_detector", "predictor",
+                 "planner", "control", "engine"):
         if name in sections:
             out[name] = _replace_section(getattr(cfg, name),
                                          sections.pop(name))

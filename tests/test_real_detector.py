@@ -118,3 +118,35 @@ def test_real_detector_episode_reaches_goal():
     s_gt = summarize(cfg_gt, carry_gt)
     assert s_gt["goal_reached"] and not s_gt["collision"], s_gt
     assert s["flight_travel_time"] <= 2.5 * s_gt["flight_travel_time"]
+
+
+def test_sense_merges_static_grid():
+    """sense_and_track with a static occupancy grid: the rendered scene
+    is the nearest-return merge of dynamic AABBs and the voxel wall, so
+    a mover in front of a wall is detected at ITS depth while the wall
+    fills the rest of the image (the depth-integration scene the real
+    mapper would see)."""
+    from intent_mpc_tpu.models.occupancy import build_from_static_obstacles
+
+    rd = RealDetectorConfig(im_h=48, im_w=64, fx=60.0, fy=60.0, cx=32.0,
+                            cy=24.0, max_tracks=4, max_detections=4)
+    det = DetectorConfig(history_size=8)
+    occ = build_from_static_obstacles(
+        origin=(-1.0, -6.0, 0.0), size_m=(10.0, 12.0, 4.0), resolution=0.2,
+        centers=[[7.0, 0.0, 1.5]], bboxes=[[0.4, 8.0, 3.0]],
+        inflation=[0.0, 0.0, 0.0])
+    st = rdet.init_real_detector(rd, det)
+    mover = jnp.array([[3.5, 0.0, 1.5]])
+    size = jnp.array([[0.8, 0.8, 0.8]])
+    st = rdet.sense_and_track(rd, det, st, jnp.array([0.0, 0.0, 1.5]),
+                              jnp.asarray(0.0), mover, size,
+                              jnp.array([True]), occ=occ)
+    live = np.asarray(st.tracks.live)
+    pos = np.asarray(st.tracks.pos)
+    assert live.any()
+    # the nearest live track is the mover's front face (~3.1 m), not the
+    # wall at 6.8 m — the merge keeps the nearest return per pixel
+    d = np.linalg.norm(pos[live] - np.array([0.0, 0.0, 1.5]), axis=-1)
+    assert d.min() < 4.0, d
+    # and the wall is ALSO in the scene: some detection sits beyond 5 m
+    assert d.max() > 5.0, d
