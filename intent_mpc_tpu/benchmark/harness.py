@@ -14,7 +14,6 @@ import csv
 import dataclasses
 import json
 import os
-import sys
 import time
 from functools import partial
 from typing import List, Optional, Sequence
@@ -47,9 +46,25 @@ from intent_mpc_tpu.utils.config import IntentMPCConfig
 # per-cycle program can crash the worker well below 512 — the
 # truncation="osqp" engine program (up to 10x the per-cycle iteration
 # count) killed the worker on its FIRST 512-cycle dispatch and runs
-# cleanly at --chunk-cycles 50 — so callers changing the per-cycle
-# program class should re-probe or pass an explicit chunk_cycles.
+# cleanly at --chunk-cycles 50 — run_trials therefore auto-selects the
+# envelope by PROGRAM CLASS (default_chunk_cycles below) instead of
+# relying on the caller to remember; an explicit chunk_cycles still
+# overrides for probing.
 SAFE_SINGLE_DISPATCH_CYCLES = 512
+# Per-program-class envelope for the heavier truncation="osqp" engine
+# body (a while_loop of termination-check blocks per candidate solve,
+# up to 10x the fixed path's per-cycle iteration count). 50 is the
+# measured-clean chunk from the round-4 crash; certified by
+# benchmark/crash_probe.py --truncation osqp.
+SAFE_OSQP_TRUNCATION_CYCLES = 50
+
+
+def default_chunk_cycles(cfg: IntentMPCConfig) -> int:
+    """Measured-safe single-dispatch cycle envelope for cfg's engine
+    program class (see the crash-envelope notes above)."""
+    if cfg.planner.solver.truncation != "fixed":
+        return SAFE_OSQP_TRUNCATION_CYCLES
+    return SAFE_SINGLE_DISPATCH_CYCLES
 
 # Certified-good XLA batch tilings on the tunnel chip (RESULTS.md batch
 # curve): 36/48/64/96/112 fall 2-3x below these neighbors. Requested
@@ -102,7 +117,7 @@ def run_trials(cfg: IntentMPCConfig, seeds: Sequence[int],
     scenarios = sh.stack_scenarios(cfg, seeds)
     total = num_cycles if num_cycles is not None else cfg.engine.num_cycles
     if chunk_cycles is None and jax.devices()[0].platform == "tpu":
-        chunk_cycles = SAFE_SINGLE_DISPATCH_CYCLES
+        chunk_cycles = default_chunk_cycles(cfg)
     if chunk_cycles is not None and total > chunk_cycles:
         from intent_mpc_tpu.engine import closed_loop as cl
         from intent_mpc_tpu.models.occupancy import empty_grid
@@ -355,7 +370,11 @@ def main():  # pragma: no cover
                     help="fleet checkpoint .npz: snapshot every "
                          "--chunk-cycles MPC cycles; an existing file "
                          "resumes bit-exactly after preemption")
-    ap.add_argument("--chunk-cycles", type=int, default=100)
+    ap.add_argument("--chunk-cycles", type=int, default=None,
+                    help="single-dispatch cycle envelope override "
+                         "(default: program-class auto via "
+                         "default_chunk_cycles; checkpoint mode "
+                         "defaults to 50)")
     args = ap.parse_args()
 
     if args.platform:
@@ -411,18 +430,17 @@ def main():  # pragma: no cover
     t0 = time.time()
     seeds = range(args.seed0, args.seed0 + args.trials)
     if args.checkpoint:
-        rows = run_trials_checkpointed(cfg, list(seeds), args.checkpoint,
-                                       chunk_cycles=args.chunk_cycles,
-                                       solver_iters=args.iters)
+        rows = run_trials_checkpointed(
+            cfg, list(seeds), args.checkpoint,
+            chunk_cycles=(args.chunk_cycles if args.chunk_cycles is not None
+                          else 50),
+            solver_iters=args.iters)
     else:
-        # --chunk-cycles without --checkpoint: in-memory dispatch split
-        # below the default SAFE_SINGLE_DISPATCH_CYCLES envelope (heavier
-        # per-cycle programs, e.g. --truncation osqp, crash the tunnel
-        # worker at smaller per-dispatch iteration counts)
-        explicit_chunk = ("--chunk-cycles" in sys.argv)
+        # chunk_cycles=None lets run_trials pick the program-class
+        # envelope (default_chunk_cycles); an explicit --chunk-cycles
+        # overrides for probing
         rows = run_trials(cfg, seeds, solver_iters=args.iters,
-                          chunk_cycles=(args.chunk_cycles if explicit_chunk
-                                        else None))
+                          chunk_cycles=args.chunk_cycles)
     elapsed = time.time() - t0
     agg = aggregate(rows)
     agg["wall_time_s"] = elapsed

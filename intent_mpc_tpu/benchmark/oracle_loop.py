@@ -207,6 +207,7 @@ def run_divergence(cfg: IntentMPCConfig, seed: int, override,
                                solver_iters=runtime_iters)[0]
 
     carry = cl.init_carry(cfg, sc)
+    c_osqp = carry
     du_full, du_first = [], []
     n = cfg.engine.num_cycles
     for i in range(n):
@@ -221,17 +222,17 @@ def run_divergence(cfg: IntentMPCConfig, seed: int, override,
             du_full.append(float(np.abs(uo - uf).max()))
             du_first.append(float(np.abs(uo[0] - uf[0]).max()))
         carry = c_osqp      # the OSQP solution flies the episode
-    a_full, a_first = np.array(du_full), np.array(du_first)
-    return {
-        "seed": seed, "cycles_compared": len(du_full),
-        "du_full_mean": float(a_full.mean()),
-        "du_full_p95": float(np.percentile(a_full, 95)),
-        "du_full_max": float(a_full.max()),
-        "du_first_mean": float(a_first.mean()),
-        "du_first_p95": float(np.percentile(a_first, 95)),
-        "du_first_max": float(a_first.max()),
-        "goal_reached": bool(c_osqp.metrics.goal_reached),
-    }
+    row = {"seed": seed, "cycles_compared": len(du_full),
+           "goal_reached": bool(c_osqp.metrics.goal_reached)}
+    for name, a in (("du_full", np.array(du_full)),
+                    ("du_first", np.array(du_first))):
+        # no cycle had both trajectories ready (e.g. num_cycles 0 or a
+        # first-solve failure on both sides): report null stats instead
+        # of NaN means / an empty-percentile crash
+        row[f"{name}_mean"] = float(a.mean()) if a.size else None
+        row[f"{name}_p95"] = float(np.percentile(a, 95)) if a.size else None
+        row[f"{name}_max"] = float(a.max()) if a.size else None
+    return row
 
 
 def build_cfg(args) -> IntentMPCConfig:
@@ -312,11 +313,15 @@ def main():  # pragma: no cover
                                  truncation=args.runtime_truncation)
             row["wall_s"] = round(time.time() - t0, 1)
             rows.append(row)
-            print(f"[div seed {seed}] cycles={row['cycles_compared']} "
-                  f"du_first mean={row['du_first_mean']:.3f} "
-                  f"p95={row['du_first_p95']:.3f} "
-                  f"max={row['du_first_max']:.3f} ({row['wall_s']}s)",
-                  flush=True)
+            if row["cycles_compared"]:
+                print(f"[div seed {seed}] cycles={row['cycles_compared']} "
+                      f"du_first mean={row['du_first_mean']:.3f} "
+                      f"p95={row['du_first_p95']:.3f} "
+                      f"max={row['du_first_max']:.3f} ({row['wall_s']}s)",
+                      flush=True)
+            else:
+                print(f"[div seed {seed}] cycles=0 (no comparable cycles) "
+                      f"({row['wall_s']}s)", flush=True)
         path = os.path.join(args.out, "divergence.json")
         with open(path, "w") as f:
             json.dump({"config": vars(args), "rows": rows}, f, indent=1,

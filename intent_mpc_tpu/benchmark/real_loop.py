@@ -10,16 +10,30 @@ depth frames rendered at the drone's pose (models/real_detector.py:
 render -> DBSCAN -> KF tracks -> classification -> predictor) — and the
 per-seed rows + aggregates land in summary.json.
 
-Scenario notes: dynamic-only worlds (dynamic_ratio=1.0). Static obstacles
-are out of scope for this delta because the real detector (correctly)
-only publishes dynamic tracks — the reference handles statics through the
-occupancy-mapping pipeline (depth integration), which is exercised by
-test_mapping/test_sensor; mixing them here would measure the missing
-map-integration wiring, not the detector.
+Two world modes:
+
+  * micro (default, round-4): dynamic-only worlds (dynamic_ratio=1.0) in
+    a narrow corridor — isolates the detector delta.
+  * --dynus (round 5, VERDICT r4 item 2a): the full DYNUS protocol
+    geometry — 200 obstacles, 65% dynamic trefoil + static pillars/
+    walls, 105 m corridor, 100 s. In real mode the statics are handled
+    the way the reference's real-perception stack handles them: a
+    prebuilt static occupancy map (occupancyMap.cpp:399-475
+    initPrebuiltMap) + per-cycle local clustering into rotated-box MPC
+    rows (PlannerConfig.static_clustering, getStaticObstacles
+    semantics); dynamics flow camera -> DBSCAN -> KF tracks ->
+    classification -> predictor. GT mode keeps everything through the
+    fake detector like the DYNUS benchmark.
+
+Per-seed real-mode rows include the perception-level quality metrics
+(track-vs-GT RMSE, miss/spurious rates, track births —
+closed_loop.perception_summary).
 
 Usage:
   python -m intent_mpc_tpu.benchmark.real_loop --seeds 0 1 2 3 4 5 6 7 \
       --obstacles 12 --timeout 30 --out results/real_loop
+  python -m intent_mpc_tpu.benchmark.real_loop --dynus --seeds $(seq 0 31) \
+      --timeout 100 --out results/real_loop_dynus
 """
 
 from __future__ import annotations
@@ -38,18 +52,46 @@ from intent_mpc_tpu.utils.config import IntentMPCConfig, RealDetectorConfig
 
 def build_cfg(args) -> IntentMPCConfig:
     cfg = IntentMPCConfig()
+    rd = RealDetectorConfig(max_tracks=args.max_tracks,
+                            max_detections=args.max_tracks)
+    if args.dynus:
+        # full DYNUS protocol world (WorldConfig defaults); statics are
+        # physical scenario boxes, so the camera's box render images
+        # them — no grid ray-march (render_static_grid=False)
+        world = dataclasses.replace(
+            cfg.world, num_obstacles=args.obstacles,
+            dynamic_ratio=args.dynamic_ratio)
+        return cfg.replace(
+            world=world, real_detector=rd,
+            planner=dataclasses.replace(cfg.planner,
+                                        max_obstacles=args.max_obstacles),
+            engine=dataclasses.replace(cfg.engine, timeout=args.timeout,
+                                       render_static_grid=False))
     world = dataclasses.replace(
         cfg.world, num_obstacles=args.obstacles, dynamic_ratio=1.0,
         x_range=(4.0, args.corridor - 4.0), y_range=(-3.0, 3.0),
         z_range=(1.0, 2.0))
-    rd = RealDetectorConfig(max_tracks=args.max_tracks,
-                            max_detections=args.max_tracks)
     return cfg.replace(
         world=world, real_detector=rd,
         start=(0.0, 0.0, 1.5), goal=(args.corridor, 0.0, 1.5),
         planner=dataclasses.replace(cfg.planner,
                                     max_obstacles=args.max_obstacles),
         engine=dataclasses.replace(cfg.engine, timeout=args.timeout))
+
+
+def static_grid_for(sc, resolution=0.2):
+    """Prebuilt static occupancy map of a DYNUS scenario's pillars/walls
+    (the reference's prebuilt-map mode, occupancyMap.cpp:399-475), with
+    the standard robot-size inflation. Fixed extents so every seed
+    compiles to the same program."""
+    import numpy as np
+    from intent_mpc_tpu.models.occupancy import build_from_static_obstacles
+    st = np.asarray(sc.is_static)
+    centers = np.asarray(sc.origin)[st]
+    boxes = np.asarray(sc.bbox)[st]
+    return build_from_static_obstacles(
+        (-2.0, -16.5, 0.0), (112.0, 33.0, 7.6), resolution,
+        centers, boxes, inflation=(0.3, 0.3, 0.2))
 
 
 def main():  # pragma: no cover
@@ -60,6 +102,14 @@ def main():  # pragma: no cover
     ap.add_argument("--timeout", type=float, default=30.0)
     ap.add_argument("--max-obstacles", type=int, default=16)
     ap.add_argument("--max-tracks", type=int, default=8)
+    ap.add_argument("--dynamic-ratio", type=float, default=0.65,
+                    help="--dynus world dynamic fraction (protocol 0.65)")
+    ap.add_argument("--dynus", action="store_true",
+                    help="full DYNUS protocol world (200 obstacles, "
+                         "105 m, statics via prebuilt map + clustering "
+                         "in real mode); pair with --obstacles 200 "
+                         "--timeout 100 --max-obstacles 64 "
+                         "--max-tracks 16")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default="results/real_loop")
     args = ap.parse_args()
@@ -71,39 +121,61 @@ def main():  # pragma: no cover
     enable_compilation_cache()
 
     from intent_mpc_tpu.benchmark import harness as H
-    from intent_mpc_tpu.engine.closed_loop import run_episode, summarize
+    from intent_mpc_tpu.engine.closed_loop import (perception_summary,
+                                                   run_episode, summarize)
     from intent_mpc_tpu.models.world import (generate_scenario,
                                              straight_line_ref_traj)
 
     cfg = build_cfg(args)
     ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)
     traj_len = jnp.asarray(ref.shape[0])
-    modes = {
-        "gt": cfg,
-        "real": cfg.replace(engine=dataclasses.replace(
-            cfg.engine, use_fake_detector=False)),
-    }
+    real_cfg = cfg.replace(engine=dataclasses.replace(
+        cfg.engine, use_fake_detector=False))
+    if args.dynus:
+        # real mode at protocol scale: statics via prebuilt map +
+        # per-cycle local clustering rows (getStaticObstacles semantics)
+        real_cfg = real_cfg.replace(planner=dataclasses.replace(
+            real_cfg.planner, static_clustering=True))
+    modes = {"gt": cfg, "real": real_cfg}
     out = {"config": {"obstacles": args.obstacles, "corridor": args.corridor,
                       "timeout": args.timeout, "seeds": args.seeds,
-                      "max_tracks": args.max_tracks}}
+                      "max_tracks": args.max_tracks, "dynus": args.dynus,
+                      "dynamic_ratio": (args.dynamic_ratio if args.dynus
+                                        else 1.0),
+                      "max_obstacles": args.max_obstacles}}
     for name, c in modes.items():
         rows = []
         for seed in args.seeds:
             sc = generate_scenario(seed=seed, cfg=c.world)
+            occ = None
+            if args.dynus and name == "real":
+                occ = static_grid_for(sc)
             t0 = time.time()
-            carry, _ = run_episode(c, sc, ref, traj_len)
+            carry, _ = run_episode(c, sc, ref, traj_len, occ=occ)
             row = summarize(c, carry)
             row["seed"] = seed
             row["wall_s"] = round(time.time() - t0, 1)
             if name == "real":
                 votes = np.asarray(carry.real_det.tracks.dyn_votes)
                 row["tracks_dynamic"] = int((votes >= 2.0).sum())
+                row.update(perception_summary(carry))
             rows.append(row)
+            extra = (f" rmse={row.get('track_pos_rmse', 0):.2f} "
+                     f"miss={row.get('missed_rate', 0):.2f} "
+                     f"spur={row.get('spurious_rate', 0):.2f}"
+                     if name == "real" else "")
             print(f"[{name} seed {seed}] goal={row['goal_reached']} "
                   f"col={row['collision']} t={row['flight_travel_time']:.1f} "
-                  f"mind={row['min_distance_to_obstacles']:.2f} "
-                  f"({row['wall_s']}s)", flush=True)
-        out[name] = H.aggregate(rows)
+                  f"mind={row['min_distance_to_obstacles']:.2f}"
+                  f"{extra} ({row['wall_s']}s)", flush=True)
+        agg = H.aggregate(rows)
+        if name == "real":
+            for k in ("track_pos_rmse", "missed_rate", "spurious_rate",
+                      "track_births"):
+                vals = [r[k] for r in rows if k in r]
+                if vals:
+                    agg["avg_" + k] = float(np.mean(vals))
+        out[name] = agg
         out[name + "_rows"] = rows
 
     os.makedirs(args.out, exist_ok=True)

@@ -255,9 +255,11 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         # detect/track/classify stack, and query TRACK histories — the
         # GT obstacle boxes below are only the scene the camera images
         d = carry.detector
+        cam_occ = occ if ecfg.render_static_grid else None
         rd = rdet.sense_and_track(cfg.real_detector, cfg.detector,
                                   carry.real_det, carry.pos, carry.yaw,
-                                  obs_pos0, scenario.bbox, obs_all, occ)
+                                  obs_pos0, scenario.bbox, obs_all, cam_occ,
+                                  obs_dynamic=~scenario.is_static)
         pos_h, vel_h, acc_h, size_h, hist_len, visible = rdet.query_history(
             cfg.real_detector, cfg.detector, rd, carry.pos)
 
@@ -330,6 +332,23 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
             lambda fresh, cur: jnp.where(build_committed, fresh, cur),
             mpclib.init_planner_state(cfg.planner), planner_in)
 
+    # ---- local static clustering (getStaticObstacles; the real-
+    # perception composition: statics reach the MPC via the static map ->
+    # obstacleClustering -> rotated-box rows instead of the fake
+    # detector, mpcPlanner.cpp:191-193 + updateObstacleParam :1186-1195)
+    static_obs = None
+    if cfg.planner.static_clustering:
+        from intent_mpc_tpu.models import clustering as clus
+        from intent_mpc_tpu.models.occupancy import local_occupied_points
+        pts, pvalid = local_occupied_points(
+            occ, carry.pos, cfg.planner.cluster_window,
+            cfg.planner.cluster_points)
+        ccfg = clus.ClusteringConfig(max_clusters=4, tree_level=2,
+                                     min_pts=8)
+        so = clus.cluster_obstacles(ccfg, pts, pvalid)
+        assert so.centroid.shape[0] == cfg.planner.cluster_slots
+        static_obs = (so.centroid, so.size, so.yaw, so.active)
+
     # ---- predictor + MPC (mpcCB :290-365) ----
     if ecfg.use_predictor:
         prediction = predlib.predict(cfg.predictor, pos_h, vel_h, acc_h,
@@ -338,14 +357,15 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
             cfg.planner, planner_in, carry.pos, carry.vel, ref_traj,
             traj_len, prediction, visible, solver_iters,
             curr_yaw=carry.yaw if ecfg.use_fov else None,
-            solve_override=solve_override, cycle_idx=cycle_idx)
+            solve_override=solve_override, cycle_idx=cycle_idx,
+            static_obs=static_obs)
     else:
         # use_predictor=false: obstacles held constant over the horizon
         # (mpcNavigation.cpp:301-311 + updateDynamicObstacles)
         plan_out = mpclib.make_plan(
             cfg.planner, planner_in, carry.pos, carry.vel, ref_traj,
             traj_len, pos_h[:, 0], vel_h[:, 0], size_h[:, 0], visible,
-            solver_iters)
+            solver_iters, static_obs=static_obs)
 
     # stop_replan / goal_invalid cycles hold position and do not commit a
     # plan (the reference's stop() + mpcTrajectoryReady_=false; the replan
@@ -471,7 +491,8 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
             else:
                 rd = rdet.sense_and_track(cfg.real_detector, cfg.detector,
                                           rd, pos, yaw, obs_pos_t,
-                                          scenario.bbox, obs_all, occ)
+                                          scenario.bbox, obs_all, cam_occ,
+                                          obs_dynamic=~scenario.is_static)
 
         # ---- monitor updates (masked once done) ----
         m = metrics
@@ -615,4 +636,26 @@ def summarize(cfg: IntentMPCConfig, carry: EngineCarry) -> dict:
         "mpc_prim_res_max": float(m.prim_res_max),
         "traj_collision_cycles": int(m.traj_collision_cycles),
         "stop_replans": int(m.stop_replans),
+    }
+
+
+def perception_summary(carry: EngineCarry) -> dict:
+    """Track-vs-GT perception quality of a real-detector episode
+    (models/real_detector.PerceptionStats; VERDICT r4 item 2a)."""
+    if carry.real_det is None:
+        return {}
+    s = carry.real_det.stats
+    import numpy as _np
+    err_n = max(int(s.err_n), 1)
+    return {
+        "track_pos_rmse": float(_np.sqrt(float(s.err_sq_sum) / err_n)),
+        "track_matches": int(s.err_n),
+        "missed_rate": float(s.missed_sum) / max(int(s.gt_in_fov_sum), 1),
+        "missed_count": int(s.missed_sum),
+        "gt_in_fov_ticks": int(s.gt_in_fov_sum),
+        "spurious_rate": float(s.spurious_sum)
+        / max(int(s.track_ticks_sum), 1),
+        "spurious_count": int(s.spurious_sum),
+        "dyn_track_ticks": int(s.track_ticks_sum),
+        "track_births": int(s.births_sum),
     }

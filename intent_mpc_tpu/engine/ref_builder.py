@@ -82,7 +82,11 @@ def build_goal_ref(ecfg, occ: OccupancyGrid, start: jnp.ndarray,
         hi = jnp.maximum(start, goal) + m
         lo = lo.at[2].set(jnp.maximum(lo[2], ecfg.ref_z_min))
         rrt = rrt_plan(occ, start, goal, lo, hi, key,
-                       RRTConfig(max_iters=ecfg.ref_rrt_iters))
+                       RRTConfig(max_iters=ecfg.ref_rrt_iters,
+                                 incremental_dist=ecfg.ref_rrt_step,
+                                 goal_reach_dist=max(0.4,
+                                                     ecfg.ref_rrt_step),
+                                 max_shortcut_dist=ecfg.ref_rrt_shortcut))
         # the RRT terminates at a node within goal_reach_dist; append the
         # goal itself as the final waypoint (rrtBase backtracking pushes
         # the goal onto the plan) before arc-length resampling

@@ -71,7 +71,10 @@ def init_planner_state(cfg: PlannerConfig) -> PlannerState:
         # against the true normal operator) until the first refresh at
         # cycle 0 / after a mid-flight planner reset
         n = cfg.num_vars
-        K = cfg.max_obstacles
+        # static clustering appends cluster_slots rows to every QP, so
+        # the carried factor's obs slots must match that program shape
+        K = cfg.max_obstacles + (cfg.cluster_slots
+                                 if cfg.static_clustering else 0)
         fac = dict(
             fac_d=jnp.ones(n, jnp.float32),
             fac_e=qplib.ConVec(eq=jnp.ones((H, 8), jnp.float32),
@@ -273,7 +276,8 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
                         max_iter: Optional[int] = None,
                         curr_yaw: Optional[jnp.ndarray] = None,
                         solve_override=None,
-                        cycle_idx: Optional[jnp.ndarray] = None) -> PlanOutput:
+                        cycle_idx: Optional[jnp.ndarray] = None,
+                        static_obs=None) -> PlanOutput:
     """One replanning cycle (mpcCB body + makePlanWithPred).
 
     All 6 intent-combination QPs are assembled and solved as one batch.
@@ -283,6 +287,13 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
     solve_override: optional `(qps, warm6) -> ADMMResult` replacing the
     batched ADMM — used by benchmark/oracle_loop.py to fly the closed
     loop on the native f64 oracle (everything else identical).
+    static_obs: optional (centroid (S,3), size (S,3), yaw (S,), active
+    (S,)) rotated static boxes from obstacle clustering — identical rows
+    appended to every candidate QP with the static safety distance,
+    static slack column, and rotated-ellipsoid yaw (updateObstacleParam
+    :1186-1195; the real-perception composition, where statics reach the
+    MPC via map -> clustering instead of the fake detector). Scoring
+    stays dynamic-only like the reference's getTrajectoryScore.
     """
     H, W = cfg.horizon, cfg.mpc_window
     O = pred.pos.shape[0]
@@ -323,7 +334,9 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
     cand_active = cand_active[order]
 
     # firstTime / no-pred: no obstacle constraints (makePlanWithPred :593-602)
-    use_obs = (~state.first_time) & any_visible
+    any_static = (jnp.any(static_obs[3]) if static_obs is not None
+                  else jnp.asarray(False))
+    use_obs = (~state.first_time) & (any_visible | any_static)
     cand_active = cand_active * use_obs.astype(cand_active.dtype)
 
     # obstacle param conversion (updateObstacleParam :1148-1197):
@@ -331,6 +344,24 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
     qsize = cand_size[:, :W] / 2.0 + cfg.dynamic_safety_dist
     qpos = cand_pos[:, :W]
     qp_active = cand_active
+    qyaw = jnp.zeros(qpos.shape[:-1])
+    qdyn = jnp.ones(qpos.shape[:-1])
+    if static_obs is not None:
+        sc, ss, sy, sa = static_obs
+        S = sc.shape[0]
+        qpos = jnp.concatenate(
+            [qpos, jnp.broadcast_to(sc[None, None], (6, W, S, 3))], axis=2)
+        qsize = jnp.concatenate(
+            [qsize, jnp.broadcast_to(
+                ss[None, None] / 2.0 + cfg.static_safety_dist,
+                (6, W, S, 3))], axis=2)
+        qyaw = jnp.concatenate(
+            [qyaw, jnp.broadcast_to(sy[None, None], (6, W, S))], axis=2)
+        qdyn = jnp.concatenate([qdyn, jnp.zeros((6, W, S))], axis=2)
+        sact = (sa.astype(qp_active.dtype)
+                * use_obs.astype(qp_active.dtype))
+        qp_active = jnp.concatenate(
+            [qp_active, jnp.broadcast_to(sact[None], (6, S))], axis=1)
     if curr_yaw is not None:
         # two spare slots for FOV half-space rows (QP only; scoring uses the
         # un-padded obstacle set)
@@ -339,6 +370,8 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
             axis=2)
         qpos = pad(qpos, 0.0)
         qsize = pad(qsize, 1.0)
+        qyaw = pad(qyaw, 0.0)
+        qdyn = pad(qdyn, 1.0)
         qp_active = jnp.concatenate(
             [qp_active, jnp.zeros(qp_active.shape[:1] + (2,))], axis=1)
         fov = fov_halfspaces(curr_pos, curr_yaw)
@@ -352,13 +385,11 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
 
     x0 = jnp.concatenate([curr_pos, curr_vel])
 
-    def build_one(op, os, act):
-        return qplib.build_qp(cfg, x0, xref, op, os,
-                              jnp.zeros(op.shape[:-1]),
-                              jnp.ones(op.shape[:-1]),
+    def build_one(op, os, oy, od, act):
+        return qplib.build_qp(cfg, x0, xref, op, os, oy, od,
                               jnp.broadcast_to(act[None, :], op.shape[:-1]),
                               lin, fov_rows=fov)
-    qps = jax.vmap(build_one)(qpos, qsize, qp_active)
+    qps = jax.vmap(build_one)(qpos, qsize, qyaw, qdyn, qp_active)
 
     warm = jnp.where(state.has_solution,
                      qplib.merge_z(state.states_sol, state.controls_sol),

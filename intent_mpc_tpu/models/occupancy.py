@@ -49,6 +49,46 @@ def is_occupied(g: OccupancyGrid, p: jnp.ndarray) -> jnp.ndarray:
     return in_map & (vals > 0)
 
 
+def local_occupied_points(g: OccupancyGrid, center: jnp.ndarray,
+                          window: tuple, max_points: int):
+    """Fixed-shape local static cloud: the `max_points` occupied voxel
+    centers nearest `center` within a `window`-voxel box around it.
+
+    The reference feeds obstacleClustering a local static point cloud
+    gathered from the map around the robot (mpcPlanner.cpp getStaticObs
+    path; obstacleClustering.cpp:14-95 consumes a pcl cloud). Here the
+    cloud is a dynamic_slice window of the inflated grid with a top-k
+    nearest-occupied selection so the shape stays static for XLA.
+    Returns (pts (max_points, 3), valid (max_points,) bool)."""
+    import jax
+    nx, ny, nz = window
+    res = g.resolution
+    shape = jnp.array(g.grid.shape)
+    idx0 = jnp.floor((center - g.origin) / res).astype(jnp.int32) \
+        - jnp.array([nx // 2, ny // 2, nz // 2])
+    idx0 = jnp.clip(idx0, 0, jnp.maximum(shape - jnp.array([nx, ny, nz]), 0))
+    win = jax.lax.dynamic_slice(
+        g.grid, (idx0[0], idx0[1], idx0[2]),
+        (min(nx, g.grid.shape[0]), min(ny, g.grid.shape[1]),
+         min(nz, g.grid.shape[2])))
+    ii, jj, kk = jnp.meshgrid(jnp.arange(win.shape[0]),
+                              jnp.arange(win.shape[1]),
+                              jnp.arange(win.shape[2]), indexing="ij")
+    coords = (jnp.stack([ii, jj, kk], axis=-1).reshape(-1, 3)
+              + idx0[None, :] + 0.5) * res + g.origin[None, :]
+    occm = win.reshape(-1) > 0
+    d2 = jnp.sum((coords - center[None, :]) ** 2, axis=-1)
+    score = jnp.where(occm, -d2, -jnp.inf)
+    k = min(max_points, coords.shape[0])
+    top, sel = jax.lax.top_k(score, k)
+    pts = coords[sel]
+    valid = jnp.isfinite(top)
+    if k < max_points:
+        pts = jnp.pad(pts, ((0, max_points - k), (0, 0)))
+        valid = jnp.pad(valid, (0, max_points - k))
+    return jnp.where(valid[:, None], pts, 0.0), valid
+
+
 def build_from_static_obstacles(origin, size_m, resolution,
                                 centers, bboxes, inflation) -> OccupancyGrid:
     """Rasterize axis-aligned static boxes (inflated by robot size) into a

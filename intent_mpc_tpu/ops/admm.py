@@ -685,6 +685,11 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
         # trade, which is why "fixed" stays the default.
         step_fn = make_step(refine)
         blk = scfg.term_check_interval
+        # stop exactly at the max_iter cap like OSQP: full blocks run in
+        # the while loop, a remainder block (iters % blk) runs once after
+        # it for the lanes that never converged (ADVICE r4: without the
+        # clamp, total iterations = ceil(iters/blk)*blk overran the cap)
+        nfull = (iters // blk) * blk
 
         def _converged(xs, zs, ys):
             x = D * xs
@@ -703,7 +708,7 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
 
         def w_cond(state):
             _, k, done = state
-            return (~done) & (k < iters)
+            return (~done) & (k < nfull)
 
         def w_body(state):
             carry, k, done = state
@@ -713,9 +718,14 @@ def admm_solve(cfg: PlannerConfig, qp: QPData,
             xs_k, zs_k, ys_k, _ = carry
             return carry, k + blk, done | _converged(xs_k, zs_k, ys_k)
 
-        (carry, _, _) = jax.lax.while_loop(
+        (carry, _, done) = jax.lax.while_loop(
             w_cond, w_body, ((xs0, z0, y0, xs0),
                              jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+        rem = iters - nfull
+        if rem > 0:
+            new_carry, _ = jax.lax.scan(step_fn, carry, None, length=rem)
+            carry = jax.tree.map(lambda nv, ov: jnp.where(done, ov, nv),
+                                 new_carry, carry)
         xs, zs, ys, _ = carry
     elif (factor is not None and scfg.flat_iter and custom_msolve is None
             and not scfg.block_refine and not scfg.folded_refine

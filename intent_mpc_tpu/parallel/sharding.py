@@ -82,13 +82,21 @@ def shard_scenarios(scenarios: Scenario, mesh: Mesh) -> Scenario:
     return jax.tree.map(lambda a: jax.device_put(a, sh), scenarios)
 
 
-def _make_run_shard(cfg, traj_len, solver_iters, num_cycles, record_paths):
-    def run_shard(scen, ref):
-        out = jax.vmap(
-            lambda s: cl.run_episode(cfg, s, ref, traj_len,
-                                     solver_iters=solver_iters,
-                                     num_cycles=num_cycles,
-                                     record_path=record_paths))(scen)
+def _make_run_shard(cfg, traj_len, solver_iters, num_cycles, record_paths,
+                    occ=None, use_keys=False):
+    """occ: replicated occupancy grid (goal-mode / real-detector program
+    classes need the static map); use_keys: the shard function takes a
+    per-scenario PRNG key batch (goal-mode RRT route builds)."""
+    def run_shard(scen, ref, keys=None):
+        def one(s, k):
+            return cl.run_episode(cfg, s, ref, traj_len, occ=occ,
+                                  solver_iters=solver_iters,
+                                  num_cycles=num_cycles,
+                                  record_path=record_paths, ref_key=k)
+        if use_keys:
+            out = jax.vmap(one)(scen, keys)
+        else:
+            out = jax.vmap(lambda s: one(s, None))(scen)
         carry, paths = out
         m = carry.metrics
         local = {
@@ -106,21 +114,22 @@ def _make_run_shard(cfg, traj_len, solver_iters, num_cycles, record_paths):
 
 
 def _make_sharded(cfg, mesh, solver_iters, num_cycles, record_paths,
-                  traj_len=None):
+                  traj_len=None, occ=None, use_keys=False):
     """The shard_map-wrapped fleet program (one arg set per traj_len)."""
     run_shard = _make_run_shard(cfg, traj_len, solver_iters, num_cycles,
-                                record_paths)
+                                record_paths, occ=occ, use_keys=use_keys)
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P("batch"), P()),
-             out_specs=(P("batch"), P()),
-             check_vma=False)
-    def sharded(scen, ref):
-        (m, paths), local = run_shard(scen, ref)
+    in_specs = (P("batch"), P()) + ((P("batch"),) if use_keys else ())
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=(P("batch"), P()), check_vma=False)
+    def sharded(scen, ref, *keys):
+        (m, paths), local = run_shard(scen, ref,
+                                      keys[0] if use_keys else None)
         # ICI/DCN collective reduction of fleet statistics
         red = {k: (jax.lax.pmin(v, "batch") if k == "min_dist_min"
                    else jax.lax.psum(v, "batch"))
@@ -133,23 +142,34 @@ def batch_rollout(cfg: IntentMPCConfig, scenarios: Scenario,
                   ref_traj: jnp.ndarray, traj_len, mesh: Optional[Mesh] = None,
                   solver_iters: Optional[int] = None,
                   num_cycles: Optional[int] = None,
-                  record_paths: bool = False):
+                  record_paths: bool = False,
+                  occ=None, ref_keys: Optional[jnp.ndarray] = None):
     """Run a batch of episodes (sharded over the mesh when given).
 
+    occ: replicated static occupancy grid (goal-mode / real-detector
+    program classes); ref_keys: (B, 2) per-scenario PRNG keys for the
+    goal-mode RRT route builder, sharded with the batch.
     Returns (per-scenario Metrics batch, aggregate dict of psum-reduced
     fleet statistics[, paths (B, C, 3) when record_paths])."""
+    use_keys = ref_keys is not None
     run_shard = _make_run_shard(cfg, traj_len, solver_iters, num_cycles,
-                                record_paths)
+                                record_paths, occ=occ, use_keys=use_keys)
     if mesh is None:
-        (metrics, paths), local = jax.jit(run_shard)(scenarios, ref_traj)
+        args = (scenarios, ref_traj) + ((ref_keys,) if use_keys else ())
+        (metrics, paths), local = jax.jit(run_shard)(*args)
         agg = {k: float(v) for k, v in local.items()}
         if record_paths:
             return metrics, agg, paths
         return metrics, agg
 
     sharded = jax.jit(_make_sharded(cfg, mesh, solver_iters, num_cycles,
-                                    record_paths, traj_len))
-    (metrics, paths), agg = sharded(shard_scenarios(scenarios, mesh), ref_traj)
+                                    record_paths, traj_len, occ=occ,
+                                    use_keys=use_keys))
+    args = (shard_scenarios(scenarios, mesh), ref_traj)
+    if use_keys:
+        args = args + (jax.device_put(
+            ref_keys, NamedSharding(mesh, P("batch"))),)
+    (metrics, paths), agg = sharded(*args)
     agg = {k: float(v) for k, v in agg.items()}
     if record_paths:
         return metrics, agg, paths
@@ -162,7 +182,8 @@ _COLLECTIVE_RE = None
 def collective_report(cfg: IntentMPCConfig, scenarios: Scenario,
                       ref_traj: jnp.ndarray, traj_len,
                       mesh: Mesh, solver_iters: Optional[int] = None,
-                      num_cycles: Optional[int] = None) -> dict:
+                      num_cycles: Optional[int] = None,
+                      occ=None, ref_keys: Optional[jnp.ndarray] = None) -> dict:
     """Compile the sharded fleet program and inventory its cross-device
     communication from the optimized HLO.
 
@@ -184,9 +205,15 @@ def collective_report(cfg: IntentMPCConfig, scenarios: Scenario,
     dtype_bytes = {"f32": 4, "s32": 4, "u32": 4, "f64": 8, "pred": 1,
                    "bf16": 2, "f16": 2}
 
-    fn = _make_sharded(cfg, mesh, solver_iters, num_cycles, False, traj_len)
+    use_keys = ref_keys is not None
+    fn = _make_sharded(cfg, mesh, solver_iters, num_cycles, False, traj_len,
+                       occ=occ, use_keys=use_keys)
     sc_sharded = shard_scenarios(scenarios, mesh)
-    txt = jax.jit(fn).lower(sc_sharded, ref_traj).compile().as_text()
+    args = (sc_sharded, ref_traj)
+    if use_keys:
+        args = args + (jax.device_put(
+            ref_keys, NamedSharding(mesh, P("batch"))),)
+    txt = jax.jit(fn).lower(*args).compile().as_text()
 
     # an op APPLICATION is "<shapes> op(" after "= "; operand mentions are
     # "%op" references and are excluded by the (?<!%) guard

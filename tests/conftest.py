@@ -42,7 +42,10 @@ enable_compilation_cache()
 from intent_mpc_tpu.utils import hostlimits  # noqa: E402
 
 _HEADROOM = hostlimits.ensure_map_headroom()
-MAPGUARD_EXIT_CODE = 77
+MAPGUARD_EXIT_CODE = 77          # segment ended for headroom, all tests passed
+MAPGUARD_FAILED_EXIT_CODE = 78   # segment ended for headroom WITH failures —
+                                 # run_suite.sh must not let a later clean
+                                 # segment's exit 0 mask them
 
 import pytest  # noqa: E402
 
@@ -60,11 +63,13 @@ def pytest_runtest_teardown(item, nextitem):
             f.write(item.nodeid + "\n")
     if (nextitem is not None
             and hostlimits.map_budget_remaining() < hostlimits.GUARD_MARGIN):
+        code = (MAPGUARD_FAILED_EXIT_CODE if item.session.testsfailed > 0
+                else MAPGUARD_EXIT_CODE)
         pytest.exit(
             "vm.max_map_count nearly exhausted (XLA:CPU JIT mappings); "
             "ending the session before the compiler aborts. Resume the "
             "remaining tests in a fresh process — tests/run_suite.sh "
-            "automates this.", returncode=MAPGUARD_EXIT_CODE)
+            "automates this.", returncode=code)
 
 # ---------------------------------------------------------------------------
 # Two-tier suite: `pytest -m "not slow"` is the smoke gate (~2-4 min);
@@ -115,10 +120,16 @@ _SLOW_TESTS = {
     "test_adaptive_rho_recovers_bad_initialization",
     "test_horizon30_real_osqp_anchors_parity",
     "test_real_osqp_closed_loop_short_episode",
+    "test_production_program_inventory",
 }
 
 
 def pytest_collection_modifyitems(config, items):
+    # full collection size BEFORE any filtering — tests/test_meta.py
+    # asserts the documented suite count against this so doc drift fails
+    # loudly (VERDICT r4 item 8)
+    config._full_collection_count = len(items)
+    config._mapguard_resumed = False
     for item in items:
         name = getattr(item, "originalname", None) or item.name
         if name.split("[")[0] in _SLOW_TESTS:
@@ -131,3 +142,4 @@ def pytest_collection_modifyitems(config, items):
             done = set(f.read().split())
         if done:
             items[:] = [it for it in items if it.nodeid not in done]
+            config._mapguard_resumed = True

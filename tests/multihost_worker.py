@@ -28,19 +28,23 @@ from intent_mpc_tpu.utils.config import small_config
 
 
 def main():
+    # past-the-smoke scale (VERDICT r4 item 4): 16 episodes x 25 MPC
+    # cycles (2.5 s of flight each) so the cross-process psum rides a
+    # program whose scan actually iterates, not a 2-cycle shape check
     cfg = small_config(num_obstacles=8)
     ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)
     tl = jnp.asarray(ref.shape[0])
     mesh = sh.make_mesh()                       # all global devices
-    g = sh.stack_scenarios_global(cfg, list(range(8)), mesh)
+    g = sh.stack_scenarios_global(cfg, list(range(16)), mesh)
     _, agg = sh.batch_rollout(cfg, g, ref, tl, mesh=mesh,
-                              solver_iters=10, num_cycles=2)
+                              solver_iters=20, num_cycles=25)
     if pid == 0:
         print("MH_RESULT " + json.dumps({
             "procs": jax.process_count(),
             "global_devices": len(jax.devices()),
             "local_devices": len(jax.local_devices()),
             "episodes": agg["episodes"],
+            "goals": agg["goals"],
             "path_sum": round(agg["path_length_sum"], 4),
         }), flush=True)
 

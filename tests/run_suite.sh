@@ -13,11 +13,18 @@
 cd "$(dirname "$0")/.."
 MAPGUARD_STATE="$(mktemp)"
 export MAPGUARD_STATE
+# 77 = mapguard stop, segment clean; 78 = mapguard stop, segment HAD
+# failures (conftest MAPGUARD_FAILED_EXIT_CODE) — resume either way, but
+# remember the failure so a later clean segment cannot mask it
 code=77
 ran=0
-while [ "$code" -eq 77 ]; do
+failed=0
+while [ "$code" -eq 77 ] || [ "$code" -eq 78 ]; do
     python -m pytest tests/ -p no:cacheprovider "$@"
     code=$?
+    if [ "$code" -eq 78 ]; then
+        failed=1
+    fi
     # exit 5 = nothing collected; after at least one resumed segment that
     # means "everything already ran" -> success
     if [ "$code" -eq 5 ] && [ "$ran" -eq 1 ]; then
@@ -26,4 +33,8 @@ while [ "$code" -eq 77 ]; do
     ran=1
 done
 rm -f "$MAPGUARD_STATE"
+if [ "$code" -eq 0 ] && [ "$failed" -eq 1 ]; then
+    echo "run_suite.sh: failures occurred in an earlier mapguard segment" >&2
+    code=1
+fi
 exit "$code"

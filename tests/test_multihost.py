@@ -42,7 +42,7 @@ def test_two_process_fleet_matches_single_process():
     assert res["procs"] == 2
     assert res["global_devices"] == 8
     assert res["local_devices"] == 4
-    assert res["episodes"] == 8.0
+    assert res["episodes"] == 16.0
 
     # single-process reference on an 8-device mesh must agree exactly
     ref_src = r"""
@@ -57,9 +57,9 @@ from intent_mpc_tpu.utils.config import small_config
 cfg = small_config(num_obstacles=8)
 ref = straight_line_ref_traj(cfg.start, cfg.goal, spacing=2.5)
 mesh = sh.make_mesh(8)
-g = sh.stack_scenarios_global(cfg, list(range(8)), mesh)
+g = sh.stack_scenarios_global(cfg, list(range(16)), mesh)
 _, agg = sh.batch_rollout(cfg, g, ref, jnp.asarray(ref.shape[0]),
-                          mesh=mesh, solver_iters=10, num_cycles=2)
+                          mesh=mesh, solver_iters=20, num_cycles=25)
 print("REF", round(agg["path_length_sum"], 4))
 """ % _ROOT
     out = subprocess.run([sys.executable, "-c", ref_src], text=True,

@@ -414,6 +414,25 @@ def test_osqp_truncation_emulation(cfg):
                                atol=0)
 
 
+def test_osqp_truncation_stops_exactly_at_max_iter(cfg):
+    """The osqp-truncation cap is EXACT like OSQP's (ADVICE r4): with a
+    tolerance no iterate can meet, truncation="osqp" at max_iter=60 /
+    check_termination=25 must return the SAME iterate as the fixed
+    schedule at 60 iterations — before the remainder-block clamp it ran
+    ceil(60/25)*25 = 75 and diverged from the cap."""
+    import dataclasses
+    qp, _, _ = _build_both(cfg, cfg.max_obstacles, 2, seed=3)
+    sc = dataclasses.replace(cfg.solver, truncation="osqp", max_iter=60,
+                             eps_abs=1e-20, eps_rel=1e-20,
+                             term_check_interval=25)
+    cfg_t = dataclasses.replace(cfg, solver=sc)
+    r_t = admm_solve(cfg_t, qp)
+    sc_f = dataclasses.replace(cfg.solver, truncation="fixed", max_iter=60)
+    r_f = admm_solve(dataclasses.replace(cfg, solver=sc_f), qp)
+    np.testing.assert_allclose(np.asarray(r_t.x), np.asarray(r_f.x),
+                               atol=1e-6)
+
+
 def test_bf16_preconditioner_matches_f32(cfg):
     """SolverConfig.minv_dtype="bf16" is a PINNED MEASURED NEGATIVE:
     storing the shared preconditioner in bf16 is formally safe (CG's
