@@ -59,10 +59,95 @@ def wall_world(seed: int):
     return sc, grid, (gap_lo + gap_hi) / 2.0
 
 
+def run_dynus(args):
+    """DYNUS-protocol goal-mode composition (VERDICT r4 item 2b): the
+    full 200-obstacle seeded world — static pillars/walls rasterized
+    into the prebuilt occupancy map AND constrained as detector rows,
+    dynamic trefoil field through the GT detector — flown in goal mode
+    with the composed [RRT -> corridor min-snap] input trajectory
+    (ref_mode "global") vs the straight-line rebuild ("linspace"), 105 m
+    start -> goal, 100 s cap."""
+    import jax
+    import jax.numpy as jnp
+    from intent_mpc_tpu.benchmark.real_loop import static_grid_for
+    from intent_mpc_tpu.engine.closed_loop import run_episode, summarize
+    from intent_mpc_tpu.models.world import generate_scenario
+    from intent_mpc_tpu.utils.config import IntentMPCConfig
+
+    def goal_cfg(ref_mode):
+        cfg = IntentMPCConfig()
+        cfg = cfg.replace(
+            world=dataclasses.replace(cfg.world,
+                                      num_obstacles=args.obstacles),
+            engine=dataclasses.replace(
+                cfg.engine, timeout=args.timeout, goal_mode=True,
+                ref_mode=ref_mode, ref_vel=5.0,
+                # 105 m routes: coarser RRT steps so the 64-slot path cap
+                # holds (105/2.5 = 42 nodes), wider shortcutting, deeper
+                # iteration budget, corridor-scaled sampling margin
+                ref_rrt_iters=2048, ref_rrt_step=2.5,
+                ref_rrt_shortcut=12.0, ref_bounds_margin=6.0,
+                ref_waypoints=12))
+        return cfg
+
+    # input-trajectory allocation: 105 m at 5 m/s = 21 s = 210 samples at
+    # 0.1 s, plus detour/slow-corner margin
+    L = 384
+    out = {"rows": [], "config": {"obstacles": args.obstacles,
+                                  "timeout": args.timeout,
+                                  "seeds": args.seeds, "dynus": True}}
+    for seed in args.seeds:
+        cfg0 = goal_cfg("linspace")
+        sc = generate_scenario(seed=seed, cfg=cfg0.world)
+        grid = static_grid_for(sc)
+        row = {"seed": seed}
+        for mode in ("linspace", "global"):
+            cfg = goal_cfg(mode)
+            ref = jnp.zeros((L, 3), jnp.float32)
+            t0 = time.time()
+            carry, _ = run_episode(cfg, sc, ref, jnp.asarray(L), occ=grid,
+                                   ref_key=jax.random.PRNGKey(1000 + seed))
+            s = summarize(cfg, carry)
+            row[mode] = {k: s[k] for k in
+                         ("goal_reached", "collision", "flight_travel_time",
+                          "path_length", "min_distance_to_obstacles",
+                          "stop_replans", "traj_collision_cycles")}
+            row[mode]["wall_s"] = round(time.time() - t0, 1)
+        out["rows"].append(row)
+        print(f"[dynus seed {seed}] "
+              f"linspace goal={row['linspace']['goal_reached']} "
+              f"col={row['linspace']['collision']} | "
+              f"global goal={row['global']['goal_reached']} "
+              f"col={row['global']['collision']} "
+              f"({row['linspace']['wall_s']}+{row['global']['wall_s']}s)",
+              flush=True)
+
+    n = len(out["rows"])
+    out["summary"] = {
+        "linspace_success": sum(r["linspace"]["goal_reached"]
+                                for r in out["rows"]) / n,
+        "global_success": sum(r["global"]["goal_reached"]
+                              for r in out["rows"]) / n,
+        "collisions": sum(r[m]["collision"] for r in out["rows"]
+                          for m in ("linspace", "global")),
+    }
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, "summary.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, default=float)
+    print(json.dumps(out["summary"], indent=1))
+    print("wrote", path)
+
+
 def main():  # pragma: no cover
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--seeds", type=int, nargs="+", default=list(range(8)))
     ap.add_argument("--timeout", type=float, default=20.0)
+    ap.add_argument("--dynus", action="store_true",
+                    help="DYNUS-protocol goal-mode run (200-obstacle "
+                         "world, statics in the occupancy map + dynamic "
+                         "trefoil field, 105 m; pair with --timeout 100)")
+    ap.add_argument("--obstacles", type=int, default=200)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default="results/ref_modes")
     args = ap.parse_args()
@@ -72,6 +157,9 @@ def main():  # pragma: no cover
         jax.config.update("jax_platforms", "cpu")
     from intent_mpc_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    if args.dynus:
+        run_dynus(args)
+        return
     import jax.numpy as jnp
     from intent_mpc_tpu.engine.closed_loop import run_episode, summarize
     from intent_mpc_tpu.utils.config import small_config
