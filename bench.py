@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--factor-reuse", type=int, default=None,
                     help="refresh the shared factor every k-th cycle "
                          "(SolverConfig.factor_reuse_cycles)")
+    ap.add_argument("--drift-refresh", type=float, default=None,
+                    help="drift-aware early factor refresh threshold "
+                         "(SolverConfig.factor_drift_refresh)")
     ap.add_argument("--flat-iter", action="store_true",
                     help="flat-constraint-space iteration (SolverConfig."
                          "flat_iter)")
@@ -110,7 +113,8 @@ def main():
     if (args.refine is not None or args.refine_mode is not None
             or args.folded_refine or args.refine_x0 is not None
             or args.factor_reuse is not None or args.flat_iter
-            or args.ew_kernel or args.minv_bf16):
+            or args.ew_kernel or args.minv_bf16
+            or args.drift_refresh is not None):
         sv = cfg.planner.solver
         sv = dataclasses.replace(
             sv,
@@ -124,6 +128,9 @@ def main():
             factor_reuse_cycles=(args.factor_reuse
                                  if args.factor_reuse is not None
                                  else sv.factor_reuse_cycles),
+            factor_drift_refresh=(args.drift_refresh
+                                  if args.drift_refresh is not None
+                                  else sv.factor_drift_refresh),
             flat_iter=args.flat_iter or sv.flat_iter,
             ew_kernel=args.ew_kernel or sv.ew_kernel,
             minv_dtype="bf16" if args.minv_bf16 else sv.minv_dtype)

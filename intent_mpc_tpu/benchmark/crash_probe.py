@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--goal-mode", action="store_true",
                     help="goal-mode program shape (EngineConfig.goal_mode, "
                          "linspace reference)")
+    ap.add_argument("--truncation", type=str, default=None,
+                    choices=["fixed", "osqp"],
+                    help="solver truncation class (the osqp emulation is "
+                         "the heavier per-cycle program whose envelope "
+                         "SAFE_OSQP_TRUNCATION_CYCLES certifies)")
     args = ap.parse_args()
 
     import jax
@@ -81,6 +86,10 @@ def main():
     cfg = IntentMPCConfig()
     cfg = cfg.replace(world=dataclasses.replace(
         cfg.world, num_obstacles=args.obstacles))
+    if args.truncation:
+        cfg = cfg.replace(planner=dataclasses.replace(
+            cfg.planner, solver=dataclasses.replace(
+                cfg.planner.solver, truncation=args.truncation)))
     if args.plant or args.goal_mode:
         cfg = cfg.replace(engine=dataclasses.replace(
             cfg.engine,

@@ -347,6 +347,11 @@ def main():  # pragma: no cover
     ap.add_argument("--dynamic-safety", type=float, default=None,
                     help="dynamic obstacle safety distance (m), "
                          "planner_param.yaml dynamic_safety_dist")
+    ap.add_argument("--predictor-stale", action="store_true",
+                    help="predictor consumes the previous cycle's last "
+                         "30 Hz history tick instead of the fresh push "
+                         "(EngineConfig.predictor_stale_hist; the "
+                         "cadence-deviation measurement)")
     ap.add_argument("--plant", type=str, default=None,
                     choices=["double_integrator", "quadrotor"],
                     help="closed-loop plant (EngineConfig.plant)")
@@ -355,6 +360,9 @@ def main():  # pragma: no cover
     ap.add_argument("--refine-x0", type=str, default=None,
                     choices=["minv", "prev"])
     ap.add_argument("--factor-reuse", type=int, default=None)
+    ap.add_argument("--drift-refresh", type=float, default=None,
+                    help="drift-aware early factor refresh threshold "
+                         "(SolverConfig.factor_drift_refresh)")
     ap.add_argument("--flat-iter", action="store_true")
     ap.add_argument("--refine-mode", type=str, default=None,
                     choices=["stationary", "cg"])
@@ -389,6 +397,7 @@ def main():  # pragma: no cover
                                   dynamic_ratio=args.dynamic_ratio),
         engine=dataclasses.replace(
             cfg.engine, timeout=args.timeout,
+            predictor_stale_hist=args.predictor_stale,
             plant=(args.plant if args.plant else cfg.engine.plant)))
     if args.max_obstacles is not None:
         cfg = cfg.replace(planner=dataclasses.replace(
@@ -410,7 +419,7 @@ def main():  # pragma: no cover
                 cfg.planner.solver, fused_solve=True)))
     if (args.refine is not None or args.refine_mode is not None
             or args.refine_x0 is not None or args.factor_reuse is not None
-            or args.flat_iter):
+            or args.flat_iter or args.drift_refresh is not None):
         sv = cfg.planner.solver
         sv = dataclasses.replace(
             sv,
@@ -423,6 +432,9 @@ def main():  # pragma: no cover
             factor_reuse_cycles=(args.factor_reuse
                                  if args.factor_reuse is not None
                                  else sv.factor_reuse_cycles),
+            factor_drift_refresh=(args.drift_refresh
+                                  if args.drift_refresh is not None
+                                  else sv.factor_drift_refresh),
             flat_iter=args.flat_iter or sv.flat_iter)
         cfg = cfg.replace(planner=dataclasses.replace(
             cfg.planner, solver=sv))

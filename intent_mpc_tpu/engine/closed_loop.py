@@ -247,8 +247,12 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         d = det.fd_update(cfg.detector, carry.detector, obs_pos0, t0)
         d = det.hist_push(d, obs_pos0)
         rd = carry.real_det
+        # predictor_stale_hist: the predictor/MPC consume the history as
+        # of the previous cycle's last 30 Hz tick (the reference's
+        # 30 Hz-predictor-timer staleness bound); default = fresh push
+        d_query = carry.detector if ecfg.predictor_stale_hist else d
         pos_h, vel_h, acc_h, size_h, hist_len, visible = det.query_history(
-            cfg.detector, d, scenario.bbox, carry.pos)
+            cfg.detector, d_query, scenario.bbox, carry.pos)
     else:
         # real perception (use_fake_detector=false, mpcNavigation.cpp:
         # 129-136): render a depth frame at the drone's pose, run the

@@ -53,6 +53,10 @@ class PlannerState(NamedTuple):
     fac_e: Optional[qplib.ConVec] = None      # constraint-space scaling
     fac_c: Optional[jnp.ndarray] = None       # scalar cost scaling
     fac_minv: Optional[jnp.ndarray] = None    # (n, n)
+    fac_gref: Optional[jnp.ndarray] = None    # (W, Kmax, 3) active obstacle
+                                              # gradients at the last factor
+                                              # refresh (drift-aware reuse,
+                                              # SolverConfig.factor_drift_refresh)
 
 
 class PlanOutput(NamedTuple):
@@ -91,6 +95,10 @@ def init_planner_state(cfg: PlannerConfig) -> PlannerState:
             fac_minv=jnp.eye(n, dtype=(jnp.bfloat16
                                        if cfg.solver.minv_dtype == "bf16"
                                        else jnp.float32)))
+        if cfg.solver.factor_drift_refresh > 0:
+            # zeros force a refresh on the first drift check (the rel
+            # drift against an empty snapshot is large)
+            fac["fac_gref"] = jnp.zeros((W, K + 1, 3), jnp.float32)
     else:
         fac = {}
     return PlannerState(
@@ -486,11 +494,28 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
                     e = state.fac_e._replace(obs=state.fac_e.obs[:, :Kq])
                     return state.fac_d, e, state.fac_c, state.fac_minv
 
-                fD, fE, fc2, fM = jax.lax.cond(
-                    cycle_idx % k_reuse == 0, fresh, reuse, None)
+                refresh = cycle_idx % k_reuse == 0
+                drift_t = cfg.solver.factor_drift_refresh
+                if drift_t > 0 and state.fac_gref is not None:
+                    # drift-aware refresh (VERDICT r4 item 6): the factor
+                    # drifts with the obstacle ellipsoid gradients (the
+                    # only cycle-varying rows of the normal matrix), so a
+                    # relative Frobenius drift of the ACTIVE gradients
+                    # since the last refresh triggers an early refactor;
+                    # k_reuse stays the ceiling
+                    g_now = qp_mean.G * qp_mean.obs_active[..., None]
+                    gref = state.fac_gref[:, :Kq]
+                    rel = jnp.linalg.norm(g_now - gref) \
+                        / (jnp.linalg.norm(gref) + 1e-6)
+                    refresh = refresh | (rel > drift_t)
+                fD, fE, fc2, fM = jax.lax.cond(refresh, fresh, reuse, None)
                 fac = Factor(D=fD, E=fE, c=fc2, Minv=fM, qp_mean=None)
                 e_pad = state.fac_e.obs.at[:, :Kq].set(fE.obs)
                 fac_carry = (fD, fE._replace(obs=e_pad), fc2, fM)
+                if drift_t > 0 and state.fac_gref is not None:
+                    g_pad = state.fac_gref.at[:, :Kq].set(g_now)
+                    fac_carry = fac_carry + (jnp.where(refresh, g_pad,
+                                                       state.fac_gref),)
             else:
                 fac = admm_factor(cfg, qp_mean, rho_override=state.rho)
             res = jax.vmap(lambda q, x: admm_solve(
@@ -547,6 +572,8 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
         fac_e=fac_carry[1] if fac_carry is not None else state.fac_e,
         fac_c=fac_carry[2] if fac_carry is not None else state.fac_c,
         fac_minv=fac_carry[3] if fac_carry is not None else state.fac_minv,
+        fac_gref=(fac_carry[4] if fac_carry is not None
+                  and len(fac_carry) > 4 else state.fac_gref),
     )
     return PlanOutput(state=new_state, valid=valid, best_idx=best,
                       candidate_states=states6, solved=res.solved,

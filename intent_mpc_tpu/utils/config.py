@@ -223,6 +223,16 @@ class SolverConfig:
                                       # experiment, RESULTS.md)
     term_check_interval: int = 25     # iterations between termination
                                       # checks (OSQP check_termination)
+    factor_drift_refresh: float = 0.0  # drift-aware factor refresh
+                                      # (VERDICT r4 item 6): when > 0,
+                                      # the shared-factor reuse branch
+                                      # ALSO refactors whenever the
+                                      # active obstacle-row gradients'
+                                      # relative Frobenius drift since
+                                      # the last refresh exceeds this
+                                      # threshold; factor_reuse_cycles
+                                      # stays the fixed ceiling. 0 keeps
+                                      # the pure counter predicate
     adaptive_rho: bool = False        # OSQP's in-solve rho adaptation +
                                       # refactorization every
                                       # adapt_interval iterations
@@ -593,6 +603,18 @@ class EngineConfig:
                                          # (the straight-line equivalent of
                                          # the 2-waypoint min-snap rebuild,
                                          # mpcCB :268-288)
+    predictor_stale_hist: bool = False   # measurement knob (VERDICT r4
+                                         # item 7): feed the predictor the
+                                         # detector history as of the LAST
+                                         # 30 Hz tick of the previous
+                                         # cycle instead of the fresh
+                                         # cycle-start push — bounds the
+                                         # reference's 30 Hz-timer
+                                         # staleness (predCB fires up to
+                                         # 33 ms before mpcCB consumes,
+                                         # dynamicPredictor.cpp:146).
+                                         # Default False = the engine's
+                                         # 0 ms-stale at-MPC-time cadence
     render_static_grid: bool = True      # real-detector camera also ray-
                                          # marches the static occupancy
                                          # grid (prebuilt-map scenes whose

@@ -104,3 +104,50 @@ def test_make_plan_with_static_obstacles(cfg):
                             obs_size, vis, static_obs=static)
     assert bool(out2.valid)
     assert np.isfinite(np.asarray(out2.state.states_sol)).all()
+
+
+def test_drift_aware_factor_refresh(cfg):
+    """SolverConfig.factor_drift_refresh: on a reuse cycle (cycle_idx %
+    k != 0), a tiny threshold forces a refactor — the result must equal
+    the refresh-cycle computation bit-for-bit — while a huge threshold
+    reuses the carried factor (VERDICT r4 item 6)."""
+    import dataclasses
+    import jax
+
+    def build(drift):
+        sv = dataclasses.replace(cfg.solver, factor_reuse_cycles=4,
+                                 factor_drift_refresh=drift)
+        return dataclasses.replace(cfg, max_obstacles=2, solver=sv)
+
+    ref = _ref(cfg)
+    pos = jnp.array([0.0, 0.0, 2.0])
+    vel = jnp.array([1.0, 0.0, 0.0])
+    pred = Prediction(
+        pos=jnp.broadcast_to(jnp.array([6.0, 0.5, 2.0]),
+                             (2, 4, cfg.horizon + 1, 3)),
+        size=jnp.ones((2, 4, cfg.horizon + 1, 3)),
+        intent_prob=jnp.full((2, 4), 0.25))
+    vis = jnp.ones(2, bool)
+
+    def fly(drift, cycle):
+        c = build(drift)
+        st = mpclib.init_planner_state(c)
+        out0 = mpclib.make_plan_with_pred(c, st, pos, vel, ref,
+                                          jnp.asarray(ref.shape[0]), pred,
+                                          vis, 40,
+                                          cycle_idx=jnp.asarray(0))
+        return mpclib.make_plan_with_pred(c, out0.state, pos, vel, ref,
+                                          jnp.asarray(ref.shape[0]), pred,
+                                          vis, 40,
+                                          cycle_idx=jnp.asarray(cycle))
+
+    # reuse cycle, tiny threshold -> forced refresh == refresh cycle
+    forced = fly(1e-9, 1)
+    refresh = fly(1e9, 4)        # cycle 4 % 4 == 0: counter refresh
+    np.testing.assert_array_equal(np.asarray(forced.state.states_sol),
+                                  np.asarray(refresh.state.states_sol))
+    # huge threshold on a reuse cycle -> carried factor (differs from the
+    # forced-refresh result because the cycle-0 scaling is reused)
+    reused = fly(1e9, 1)
+    assert np.abs(np.asarray(reused.state.states_sol)
+                  - np.asarray(forced.state.states_sol)).max() > 0
