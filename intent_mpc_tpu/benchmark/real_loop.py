@@ -151,7 +151,10 @@ def main():  # pragma: no cover
             if args.dynus and name == "real":
                 occ = static_grid_for(sc)
             t0 = time.time()
-            carry, _ = run_episode(c, sc, ref, traj_len, occ=occ)
+            # heavy per-cycle program (render/DBSCAN per hist tick):
+            # chunk dispatches on the TPU tunnel (crash-envelope notes)
+            carry, _ = run_episode(c, sc, ref, traj_len, occ=occ,
+                                   chunk_cycles=None if args.cpu else 100)
             row = summarize(c, carry)
             row["seed"] = seed
             row["wall_s"] = round(time.time() - t0, 1)

@@ -106,7 +106,8 @@ def run_dynus(args):
             ref = jnp.zeros((L, 3), jnp.float32)
             t0 = time.time()
             carry, _ = run_episode(cfg, sc, ref, jnp.asarray(L), occ=grid,
-                                   ref_key=jax.random.PRNGKey(1000 + seed))
+                                   ref_key=jax.random.PRNGKey(1000 + seed),
+                                   chunk_cycles=None if args.cpu else 100)
             s = summarize(cfg, carry)
             row[mode] = {k: s[k] for k in
                          ("goal_reached", "collision", "flight_travel_time",

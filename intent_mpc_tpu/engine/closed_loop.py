@@ -590,8 +590,15 @@ def run_episode(cfg: IntentMPCConfig, scenario: Scenario,
                 num_cycles: Optional[int] = None,
                 record_path: bool = False,
                 solve_override=None,
-                ref_key: Optional[jnp.ndarray] = None):
-    """Run one full episode; returns (final EngineCarry, path (C,3) or None)."""
+                ref_key: Optional[jnp.ndarray] = None,
+                chunk_cycles: Optional[int] = None):
+    """Run one full episode; returns (final EngineCarry, path (C,3) or None).
+
+    chunk_cycles: split the episode scan into <=chunk_cycles-cycle
+    dispatches (in-memory carry). Heavy per-cycle program classes (the
+    real-detector render/DBSCAN stack, goal-mode composition) should use
+    this on the TPU tunnel — the worker's crash envelope is per
+    dispatched program (harness.SAFE_* notes)."""
     occ = occ if occ is not None else empty_grid()
     n = num_cycles if num_cycles is not None else cfg.engine.num_cycles
     carry0 = init_carry(cfg, scenario, ref_len=ref_traj.shape[0])
@@ -602,7 +609,26 @@ def run_episode(cfg: IntentMPCConfig, scenario: Scenario,
                              ref_key=ref_key)
         return c2, (p if record_path else None)
 
-    carry, path = jax.lax.scan(step, carry0, jnp.arange(n))
+    if chunk_cycles is None or chunk_cycles >= n:
+        carry, path = jax.lax.scan(step, carry0, jnp.arange(n))
+        return carry, path
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("m",))
+    def run_chunk(c, start, m):
+        return jax.lax.scan(step, c, start + jnp.arange(m))
+
+    carry, paths = carry0, []
+    start = 0
+    while start < n:
+        m = min(chunk_cycles, n - start)
+        carry, p = run_chunk(carry, jnp.asarray(start, jnp.int32), m)
+        jax.block_until_ready(carry)
+        if record_path:
+            paths.append(p)
+        start += m
+    path = jnp.concatenate(paths) if record_path else None
     return carry, path
 
 
