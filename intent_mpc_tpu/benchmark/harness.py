@@ -59,11 +59,18 @@ SAFE_SINGLE_DISPATCH_CYCLES = 512
 SAFE_OSQP_TRUNCATION_CYCLES = 50
 
 
-def default_chunk_cycles(cfg: IntentMPCConfig) -> int:
+def default_chunk_cycles(cfg: IntentMPCConfig, batch: Optional[int] = None
+                         ) -> int:
     """Measured-safe single-dispatch cycle envelope for cfg's engine
-    program class (see the crash-envelope notes above)."""
+    program class (see the crash-envelope notes above). The envelope is
+    tiling-dependent: batch tilings ABOVE the certified 128 crashed the
+    worker at 512 cycles in round 5 (a 256-lane fleet died on its first
+    512-cycle dispatch; the round-3 256-trial sweep ran cleanly chunked
+    at 100), so larger fleets fall back to the 100-cycle chunk."""
     if cfg.planner.solver.truncation != "fixed":
         return SAFE_OSQP_TRUNCATION_CYCLES
+    if batch is not None and batch > 128:
+        return 100
     return SAFE_SINGLE_DISPATCH_CYCLES
 
 # Certified-good XLA batch tilings on the tunnel chip (RESULTS.md batch
@@ -117,7 +124,7 @@ def run_trials(cfg: IntentMPCConfig, seeds: Sequence[int],
     scenarios = sh.stack_scenarios(cfg, seeds)
     total = num_cycles if num_cycles is not None else cfg.engine.num_cycles
     if chunk_cycles is None and jax.devices()[0].platform == "tpu":
-        chunk_cycles = default_chunk_cycles(cfg)
+        chunk_cycles = default_chunk_cycles(cfg, batch=len(seeds))
     if chunk_cycles is not None and total > chunk_cycles:
         from intent_mpc_tpu.engine import closed_loop as cl
         from intent_mpc_tpu.models.occupancy import empty_grid
