@@ -137,7 +137,11 @@ def main():  # pragma: no cover
         real_cfg = real_cfg.replace(planner=dataclasses.replace(
             real_cfg.planner, static_clustering=True))
     modes = {"gt": cfg, "real": real_cfg}
-    out = {"config": {"obstacles": args.obstacles, "corridor": args.corridor,
+    # --dynus uses the WorldConfig protocol corridor (105 m); the
+    # --corridor arg only shapes the small-world mode
+    out = {"config": {"obstacles": args.obstacles,
+                      "corridor": ("dynus-105m" if args.dynus
+                                   else args.corridor),
                       "timeout": args.timeout, "seeds": args.seeds,
                       "max_tracks": args.max_tracks, "dynus": args.dynus,
                       "dynamic_ratio": (args.dynamic_ratio if args.dynus
