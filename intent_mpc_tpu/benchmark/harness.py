@@ -340,6 +340,9 @@ def main():  # pragma: no cover
     import argparse
     ap = argparse.ArgumentParser(description="Intent-MPC TPU benchmark")
     ap.add_argument("--trials", type=int, default=10)
+    ap.add_argument("--seeds", type=int, nargs="+", default=None,
+                    help="explicit seed list (overrides --trials/--seed0) "
+                         "— e.g. the 13 adjudicated timeout seeds")
     ap.add_argument("--seed0", type=int, default=0)
     ap.add_argument("--obstacles", type=int, default=200)
     ap.add_argument("--dynamic-ratio", type=float, default=0.65)
@@ -354,6 +357,12 @@ def main():  # pragma: no cover
     ap.add_argument("--dynamic-safety", type=float, default=None,
                     help="dynamic obstacle safety distance (m), "
                          "planner_param.yaml dynamic_safety_dist")
+    ap.add_argument("--goal-relax", action="store_true",
+                    help="opt-in goal-approach dynamic-safety relaxation "
+                         "(EngineConfig.goal_relax, beyond-reference): "
+                         "anneal the QP dynamic safety distance after a "
+                         "sustained near-goal stall — targets the "
+                         "goal-occlusion standoff timeout mode")
     ap.add_argument("--predictor-stale", action="store_true",
                     help="predictor consumes the previous cycle's last "
                          "30 Hz history tick instead of the fresh push "
@@ -405,6 +414,7 @@ def main():  # pragma: no cover
         engine=dataclasses.replace(
             cfg.engine, timeout=args.timeout,
             predictor_stale_hist=args.predictor_stale,
+            goal_relax=args.goal_relax,
             plant=(args.plant if args.plant else cfg.engine.plant)))
     if args.max_obstacles is not None:
         cfg = cfg.replace(planner=dataclasses.replace(
@@ -447,7 +457,8 @@ def main():  # pragma: no cover
             cfg.planner, solver=sv))
 
     t0 = time.time()
-    seeds = range(args.seed0, args.seed0 + args.trials)
+    seeds = (args.seeds if args.seeds is not None
+             else range(args.seed0, args.seed0 + args.trials))
     if args.checkpoint:
         rows = run_trials_checkpointed(
             cfg, list(seeds), args.checkpoint,

@@ -119,6 +119,11 @@ class EngineCarry(NamedTuple):
     # track table + per-track history rings (models/real_detector.py);
     # None on the GT path so the default carry stays lean
     real_det: Optional[rdet.RealDetectorState] = None
+    # goal-approach relaxation (EngineConfig.goal_relax, opt-in
+    # beyond-reference): consecutive stalled-near-goal cycle counter
+    # driving the dynamic-safety anneal; None when the feature is off so
+    # the default program is unchanged
+    stall_cycles: Optional[jnp.ndarray] = None
 
 
 def init_carry(cfg: IntentMPCConfig, scenario: Scenario,
@@ -136,6 +141,8 @@ def init_carry(cfg: IntentMPCConfig, scenario: Scenario,
         need_ref=jnp.asarray(True) if composed else None,
         real_det=None if cfg.engine.use_fake_detector else
         rdet.init_real_detector(cfg.real_detector, cfg.detector),
+        stall_cycles=(jnp.asarray(0, jnp.int32) if cfg.engine.goal_relax
+                      else None),
         pos=start, vel=jnp.zeros(3, jnp.float32),
         detector=det.init_detector(scenario.origin.shape[0], cfg.detector, pos0),
         planner=mpclib.init_planner_state(cfg.planner),
@@ -353,6 +360,23 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         assert so.centroid.shape[0] == cfg.planner.cluster_slots
         static_obs = (so.centroid, so.size, so.yaw, so.active)
 
+    # ---- goal-approach safety relaxation (opt-in, beyond-reference;
+    # see EngineConfig.goal_relax) ----
+    dyn_safety = None
+    stall_new = carry.stall_cycles
+    if ecfg.goal_relax:
+        dist_goal = jnp.linalg.norm(carry.pos - goal)
+        speed = jnp.linalg.norm(carry.vel)
+        stalled = active & (dist_goal < ecfg.goal_relax_radius) \
+            & (dist_goal > ecfg.goal_dist_threshold) \
+            & (speed < ecfg.goal_relax_speed)
+        stall_new = jnp.where(stalled, carry.stall_cycles + 1, 0)
+        relax = jnp.clip(
+            (stall_new - ecfg.goal_relax_grace).astype(jnp.float32)
+            * ecfg.goal_relax_rate,
+            0.0, cfg.planner.dynamic_safety_dist - ecfg.goal_relax_floor)
+        dyn_safety = cfg.planner.dynamic_safety_dist - relax
+
     # ---- predictor + MPC (mpcCB :290-365) ----
     if ecfg.use_predictor:
         prediction = predlib.predict(cfg.predictor, pos_h, vel_h, acc_h,
@@ -362,14 +386,14 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
             traj_len, prediction, visible, solver_iters,
             curr_yaw=carry.yaw if ecfg.use_fov else None,
             solve_override=solve_override, cycle_idx=cycle_idx,
-            static_obs=static_obs)
+            static_obs=static_obs, dyn_safety=dyn_safety)
     else:
         # use_predictor=false: obstacles held constant over the horizon
         # (mpcNavigation.cpp:301-311 + updateDynamicObstacles)
         plan_out = mpclib.make_plan(
             cfg.planner, planner_in, carry.pos, carry.vel, ref_traj,
             traj_len, pos_h[:, 0], vel_h[:, 0], size_h[:, 0], visible,
-            solver_iters, static_obs=static_obs)
+            solver_iters, static_obs=static_obs, dyn_safety=dyn_safety)
 
     # stop_replan / goal_invalid cycles hold position and do not commit a
     # plan (the reference's stop() + mpcTrajectoryReady_=false; the replan
@@ -579,7 +603,7 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         ref_len=None if carry.ref_len is None else traj_len,
         need_ref=None if carry.need_ref is None else
         (carry.need_ref & ~build_committed) | stop_replan,
-        real_det=rd)
+        real_det=rd, stall_cycles=stall_new)
     return new_carry, pos
 
 

@@ -285,7 +285,9 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
                         curr_yaw: Optional[jnp.ndarray] = None,
                         solve_override=None,
                         cycle_idx: Optional[jnp.ndarray] = None,
-                        static_obs=None) -> PlanOutput:
+                        static_obs=None,
+                        dyn_safety: Optional[jnp.ndarray] = None
+                        ) -> PlanOutput:
     """One replanning cycle (mpcCB body + makePlanWithPred).
 
     All 6 intent-combination QPs are assembled and solved as one batch.
@@ -302,6 +304,12 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
     :1186-1195; the real-perception composition, where statics reach the
     MPC via map -> clustering instead of the fake detector). Scoring
     stays dynamic-only like the reference's getTrajectoryScore.
+    dyn_safety: optional traced scalar overriding cfg.dynamic_safety_dist
+    in the QP obstacle rows (the engine's opt-in goal-approach
+    relaxation, EngineConfig.goal_relax — a beyond-reference feature;
+    the reference's fixed 1.5 m inflation is what parks it ~1 m from an
+    obstacle-occluded goal, RESULTS.md adjudication table). Scoring
+    keeps the configured distance.
     """
     H, W = cfg.horizon, cfg.mpc_window
     O = pred.pos.shape[0]
@@ -349,7 +357,8 @@ def make_plan_with_pred(cfg: PlannerConfig, state: PlannerState,
 
     # obstacle param conversion (updateObstacleParam :1148-1197):
     # semi-axes = size/2 + dynamic safety; yaw 0; all dynamic.
-    qsize = cand_size[:, :W] / 2.0 + cfg.dynamic_safety_dist
+    ds = cfg.dynamic_safety_dist if dyn_safety is None else dyn_safety
+    qsize = cand_size[:, :W] / 2.0 + ds
     qpos = cand_pos[:, :W]
     qp_active = cand_active
     qyaw = jnp.zeros(qpos.shape[:-1])
@@ -587,7 +596,8 @@ def make_plan(cfg: PlannerConfig, state: PlannerState,
               obs_size: jnp.ndarray, visible: jnp.ndarray,
               max_iter: Optional[int] = None,
               curr_yaw: Optional[jnp.ndarray] = None,
-              static_obs=None) -> PlanOutput:
+              static_obs=None,
+              dyn_safety: Optional[jnp.ndarray] = None) -> PlanOutput:
     """Non-predictor replanning cycle (mpcPlanner::makePlan :543-569 fed by
     updateDynamicObstacles :316-341): each obstacle held at its current
     position/size for the whole horizon, single QP solve.
@@ -608,9 +618,9 @@ def make_plan(cfg: PlannerConfig, state: PlannerState,
     K = O + S + (2 if curr_yaw is not None else 0)
     qpos = jnp.zeros((W, K, 3)).at[:, :O].set(
         jnp.broadcast_to(obs_pos[None], (W, O, 3)))
+    ds = cfg.dynamic_safety_dist if dyn_safety is None else dyn_safety
     qsize = jnp.ones((W, K, 3)).at[:, :O].set(
-        jnp.broadcast_to(obs_size[None] / 2.0 + cfg.dynamic_safety_dist,
-                         (W, O, 3)))
+        jnp.broadcast_to(obs_size[None] / 2.0 + ds, (W, O, 3)))
     qyaw = jnp.zeros((W, K))
     qdyn = jnp.ones((W, K))
     active = jnp.zeros((W, K)).at[:, :O].set(

@@ -667,6 +667,26 @@ class EngineConfig:
     acc_limit: float = 20.0
     jerk_limit: float = 100.0
     violation_tol: float = 1e-3
+    # ---- goal-approach safety relaxation (opt-in, BEYOND-reference) ----
+    # The benchmark's only failure mode (5.1% of 256 seeds; externally
+    # adjudicated — the reference's own solver fails the same 13 seeds
+    # 0/13, RESULTS.md round-5 adjudication) is a goal-occlusion
+    # standoff: dynamic obstacles dwelling at the goal keep the fixed
+    # 1.5 m safety ellipsoids over the 0.5 m goal criterion and the
+    # drone parks ~1 m out forever. With goal_relax=True the engine
+    # counts consecutive stalled cycles (near goal, low speed, not yet
+    # arrived) and anneals the DYNAMIC safety distance fed to the QP
+    # obstacle rows, floor-clamped; leaving the stall region resets.
+    # Static safety, scoring, and the collision monitor are untouched.
+    goal_relax: bool = False
+    goal_relax_radius: float = 4.0       # stall region: dist-to-goal below
+    goal_relax_speed: float = 0.4        # ... and speed below (m/s)
+    goal_relax_grace: int = 20           # stalled cycles (2 s) before
+                                         # annealing starts
+    goal_relax_rate: float = 0.02        # safety shed per stalled cycle
+                                         # past grace (m); 0.02 -> full
+                                         # 1.5->0.5 anneal over 7 s
+    goal_relax_floor: float = 0.5        # never below this dynamic safety
 
     @property
     def num_cycles(self) -> int:
