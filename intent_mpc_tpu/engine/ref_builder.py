@@ -117,6 +117,38 @@ def build_goal_ref(ecfg, occ: OccupancyGrid, start: jnp.ndarray,
                         2, length)
 
     # degenerate guard: already at the goal -> hold it
+    # endpoint guarantee (protocol-scale fix, round 5): the reference
+    # solves its per-axis min-snap QPs with CONVERGED OSQP, so its input
+    # trajectory always ends exactly at the goal; our budgeted dense
+    # ADMM can leave a metre-scale endpoint sag on long ill-conditioned
+    # routes (measured 1.5 m on 105 m DYNUS routes at 400 iters —
+    # RESULTS.md "Goal-mode composition at protocol scale"), which parks
+    # the MPC outside the 0.5 m goal criterion forever. Restore the
+    # converged-endpoint property by construction: walk the trailing
+    # samples straight from the sampled endpoint to the goal at ref_vel.
+    idx = jnp.arange(length)
+    # same sag at the head: blend a linearly-decaying correction so the
+    # trajectory starts exactly at the drone's position (the reference's
+    # converged solve starts at odom; updatePath feeds it currPos)
+    head_err = start - ref[0]
+    head_gap = jnp.linalg.norm(head_err)
+    n_head = jnp.clip(jnp.ceil(head_gap / jnp.maximum(ecfg.ref_vel * dt,
+                                                      1e-6)
+                               ).astype(jnp.int32), 1, length)
+    decay = jnp.clip(1.0 - idx / n_head, 0.0, 1.0)
+    ref = jnp.where(head_gap > 0.05, ref + decay[:, None] * head_err, ref)
+
+    end = ref[jnp.clip(traj_len - 1, 0, length - 1)]
+    gap = jnp.linalg.norm(goal - end)
+    n_tail = jnp.clip(jnp.ceil(gap / jnp.maximum(ecfg.ref_vel * dt, 1e-6)
+                               ).astype(jnp.int32), 1, length)
+    frac = jnp.clip((idx - (traj_len - 1)) / n_tail, 0.0, 1.0)
+    need_tail = gap > 0.05
+    ref = jnp.where(need_tail & (idx >= traj_len - 1)[:, None],
+                    end + frac[:, None] * (goal - end), ref)
+    traj_len = jnp.where(need_tail,
+                         jnp.minimum(traj_len + n_tail, length), traj_len)
+
     tiny = jnp.linalg.norm(goal - start) < 0.05
     ref = jnp.where(tiny, jnp.broadcast_to(goal, ref.shape), ref)
     traj_len = jnp.where(tiny, 2, traj_len)
