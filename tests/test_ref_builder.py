@@ -142,3 +142,40 @@ def test_engine_linspace_stalls_global_succeeds():
     s_l = summarize(cfg_l, carry)
     assert not s_l["goal_reached"], s_l
     assert s_l["stop_replans"] > 0, s_l
+
+
+@pytest.mark.slow
+def test_protocol_scale_route_pinned_to_odom_and_goal():
+    """Round-5 protocol-scale fix: on 105 m DYNUS routes the budgeted
+    dense-ADMM min-snap leaves a ~1.5 m sag at BOTH knot endpoints
+    (measured; RESULTS.md "Goal-mode composition at protocol scale"),
+    which parked the MPC outside the 0.5 m goal criterion. The builder
+    now pins the sampled trajectory to the drone position (decaying head
+    correction) and the goal (ref_vel-paced straight tail) by
+    construction — the properties the reference's converged per-axis
+    OSQP solves provide (mpcNavigation.cpp:267-289)."""
+    import dataclasses
+    from intent_mpc_tpu.benchmark.real_loop import static_grid_for
+    from intent_mpc_tpu.engine.ref_builder import build_goal_ref
+    from intent_mpc_tpu.models.world import generate_scenario
+    from intent_mpc_tpu.utils.config import IntentMPCConfig
+
+    cfg = IntentMPCConfig()
+    sc = generate_scenario(seed=1, cfg=cfg.world)
+    grid = static_grid_for(sc)
+    start = jnp.asarray(cfg.start, jnp.float32)
+    goal = jnp.asarray(cfg.goal, jnp.float32)
+    ecfg = dataclasses.replace(
+        cfg.engine, goal_mode=True, ref_mode="global", ref_vel=5.0,
+        ref_rrt_iters=2048, ref_rrt_step=2.5, ref_rrt_shortcut=12.0,
+        ref_bounds_margin=6.0, ref_waypoints=12)
+    ref, tl, poly_ok, route_ok = build_goal_ref(
+        ecfg, grid, start, goal, jax.random.PRNGKey(1001), 384,
+        dt=cfg.planner.ts)
+    tl = int(tl)
+    assert bool(route_ok)
+    assert float(jnp.linalg.norm(ref[0] - start)) < 1e-3
+    assert float(jnp.linalg.norm(ref[tl - 1] - goal)) < 1e-3
+    # the tail walks at <= ~ref_vel spacing, no teleports
+    steps = jnp.linalg.norm(jnp.diff(ref[:tl], axis=0), axis=-1)
+    assert float(steps.max()) < 1.0
