@@ -370,7 +370,12 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         stalled = active & (dist_goal < ecfg.goal_relax_radius) \
             & (dist_goal > ecfg.goal_dist_threshold) \
             & (speed < ecfg.goal_relax_speed)
-        stall_new = jnp.where(stalled, carry.stall_cycles + 1, 0)
+        # hysteresis: decay instead of reset when the stall clears, so a
+        # dart-retreat-dart cycle against a crisscrossing goal dweller
+        # accumulates relaxation across attempts instead of restarting
+        # the anneal from scratch each approach
+        stall_new = jnp.where(stalled, carry.stall_cycles + 1,
+                              jnp.maximum(carry.stall_cycles - 2, 0))
         relax = jnp.clip(
             (stall_new - ecfg.goal_relax_grace).astype(jnp.float32)
             * ecfg.goal_relax_rate,

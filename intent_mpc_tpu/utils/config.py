@@ -176,23 +176,28 @@ class SolverConfig:
     rho_eq_scale: float = 1e3         # OSQP uses rho*1e3 on equality rows
     sigma: float = 1e-6
     alpha: float = 1.6
-    max_iter: int = 75                # production operating point (round 5,
-                                      # VERDICT r4 item 1): the iteration-
-                                      # budget frontier (RESULTS.md) showed
-                                      # 75 lands jerk RMS (174) and vel-
-                                      # violation (0.58) almost exactly on
-                                      # the real-OSQP anchor's regime
-                                      # (181 / 0.595) at +21% throughput
-                                      # over the old 100 default — and the
-                                      # per-seed artifacts show 100 and 75
-                                      # fail the SAME two goal-occlusion
-                                      # seeds (35, 53) in the 64-seed
-                                      # sweep, so the budget costs zero
-                                      # success (the round-4 table's
-                                      # "64/64 at 100" was stale vs
-                                      # results/dynus_64_r3). The 0.05 s
-                                      # OSQP time limit lands mid-ramp
-                                      # too (mpcPlanner.cpp:442-444)
+    max_iter: int = 100               # production default. Round 5 shipped
+                                      # the 75-iteration frontier point
+                                      # (+21% throughput, jerk RMS on the
+                                      # real-OSQP anchor's 181) on 64-seed
+                                      # evidence, then 256-seed validation
+                                      # exposed a collision tail the 64
+                                      # seeds cannot see: 2/256 collide at
+                                      # 75 iters (seeds 84, 130 — normal-
+                                      # transit grazes; 84 passes at 9 mm
+                                      # on CPU rounding) where 100 iters
+                                      # is 0/256 and the reference's own
+                                      # solver flies both seeds clean
+                                      # (results/dynus_256_r5 vs
+                                      # dynus_256_it100, osqp_84_130).
+                                      # The default keeps the 0-collision
+                                      # record; the 75-iter anchored-
+                                      # smoothness regime stays available
+                                      # as --iters 75 with its measured
+                                      # 0.8% tail documented (RESULTS.md
+                                      # "256-seed validation", round 5).
+                                      # The 0.05 s OSQP time limit lands
+                                      # mid-ramp (mpcPlanner.cpp:442-444)
     warm_start: bool = True
     scaling_iters: int = 3            # Ruiz equilibration sweeps (0 disables)
     refine_iters: int = 0             # iterative-refinement steps per x-update.
@@ -686,7 +691,18 @@ class EngineConfig:
     goal_relax_rate: float = 0.02        # safety shed per stalled cycle
                                          # past grace (m); 0.02 -> full
                                          # 1.5->0.5 anneal over 7 s
-    goal_relax_floor: float = 0.5        # never below this dynamic safety
+    goal_relax_floor: float = 0.5        # never below this dynamic safety.
+                                         # A deeper second-stage floor
+                                         # (0.25 after a 20 s hard stall)
+                                         # was a measured NEGATIVE: on the
+                                         # one residual seed (238, an
+                                         # obstacle constellation parked ON
+                                         # the goal all episode) it grazes
+                                         # to 0.02 m without converting the
+                                         # criterion — the feature
+                                         # correctly refuses to trade
+                                         # contact for the goal (RESULTS.md
+                                         # round 5)
 
     @property
     def num_cycles(self) -> int:
