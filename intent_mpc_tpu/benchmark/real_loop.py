@@ -110,6 +110,11 @@ def main():  # pragma: no cover
                          "in real mode); pair with --obstacles 200 "
                          "--timeout 100 --max-obstacles 64 "
                          "--max-tracks 16")
+    ap.add_argument("--static-veto", action="store_true",
+                    help="RealDetectorConfig.static_map_veto: tracks "
+                         "inside the prebuilt static map's occupied "
+                         "cells are not classified dynamic (the statics "
+                         "already reach the MPC via clustering rows)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default="results/real_loop")
     args = ap.parse_args()
@@ -136,6 +141,9 @@ def main():  # pragma: no cover
         # per-cycle local clustering rows (getStaticObstacles semantics)
         real_cfg = real_cfg.replace(planner=dataclasses.replace(
             real_cfg.planner, static_clustering=True))
+    if args.static_veto:
+        real_cfg = real_cfg.replace(real_detector=dataclasses.replace(
+            real_cfg.real_detector, static_map_veto=True))
     modes = {"gt": cfg, "real": real_cfg}
     # --dynus uses the WorldConfig protocol corridor (105 m); the
     # --corridor arg only shapes the small-world mode

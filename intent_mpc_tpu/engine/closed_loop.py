@@ -267,12 +267,15 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         # GT obstacle boxes below are only the scene the camera images
         d = carry.detector
         cam_occ = occ if ecfg.render_static_grid else None
+        veto_occ = occ if cfg.real_detector.static_map_veto else None
         rd = rdet.sense_and_track(cfg.real_detector, cfg.detector,
                                   carry.real_det, carry.pos, carry.yaw,
                                   obs_pos0, scenario.bbox, obs_all, cam_occ,
-                                  obs_dynamic=~scenario.is_static)
+                                  obs_dynamic=~scenario.is_static,
+                                  static_occ=veto_occ)
         pos_h, vel_h, acc_h, size_h, hist_len, visible = rdet.query_history(
-            cfg.real_detector, cfg.detector, rd, carry.pos)
+            cfg.real_detector, cfg.detector, rd, carry.pos,
+            static_occ=veto_occ)
 
     # ---- replan-check collision monitor (replanCheckCB :414-422, :460-480) ----
     false = jnp.asarray(False)
@@ -525,7 +528,8 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
                 rd = rdet.sense_and_track(cfg.real_detector, cfg.detector,
                                           rd, pos, yaw, obs_pos_t,
                                           scenario.bbox, obs_all, cam_occ,
-                                          obs_dynamic=~scenario.is_static)
+                                          obs_dynamic=~scenario.is_static,
+                                          static_occ=veto_occ)
 
         # ---- monitor updates (masked once done) ----
         m = metrics

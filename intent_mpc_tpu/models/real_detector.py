@@ -144,15 +144,35 @@ def _in_frustum(rd: RealDetectorConfig, cam_pos: jnp.ndarray,
             & (u >= 0) & (u < rd.im_w) & (v >= 0) & (v < rd.im_h))
 
 
+def _dyn_with_veto(rd: RealDetectorConfig, tracks: pc.Tracks,
+                   static_occ: Optional[OccupancyGrid]) -> jnp.ndarray:
+    """Dynamic classification, optionally vetoed for tracks whose center
+    sits inside the prebuilt static map's occupied cells
+    (RealDetectorConfig.static_map_veto): the map composition already
+    feeds those obstacles to the MPC via clustering rows, and a static
+    pillar's visible-face centroid moves with the viewpoint — which the
+    centroid-velocity vote misreads as motion (the reference's per-POINT
+    voting, classificationCB :809-914, is robust to this; a full point
+    cloud per track is not TPU-shaped, the map gate is)."""
+    from intent_mpc_tpu.models.occupancy import is_occupied
+    _, _, _, dyn = pc.dynamic_obstacles(tracks,
+                                        vote_thresh=rd.dyn_vote_thresh)
+    if static_occ is not None and rd.static_map_veto:
+        in_static = jax.vmap(lambda p: is_occupied(static_occ, p))(
+            tracks.pos)
+        dyn = dyn & ~in_static
+    return dyn
+
+
 def _update_stats(rd: RealDetectorConfig, det: DetectorConfig,
                   stats: PerceptionStats, tracks: pc.Tracks,
                   fresh: jnp.ndarray, cam_pos: jnp.ndarray,
                   cam_rot: jnp.ndarray, drone_pos: jnp.ndarray,
-                  obs_pos: jnp.ndarray, obs_dynamic: jnp.ndarray
+                  obs_pos: jnp.ndarray, obs_dynamic: jnp.ndarray,
+                  static_occ: Optional[OccupancyGrid] = None
                   ) -> PerceptionStats:
     live = tracks.live
-    _, _, _, dyn = pc.dynamic_obstacles(tracks,
-                                        vote_thresh=rd.dyn_vote_thresh)
+    dyn = _dyn_with_veto(rd, tracks, static_occ)
     # pairwise track->GT center distances (T, O)
     d = jnp.linalg.norm(tracks.pos[:, None, :] - obs_pos[None, :, :],
                         axis=-1)
@@ -189,7 +209,8 @@ def sense_and_track(rd: RealDetectorConfig, det: DetectorConfig,
                     yaw: jnp.ndarray, obs_pos: jnp.ndarray,
                     obs_size: jnp.ndarray, obs_active: jnp.ndarray,
                     occ: Optional[OccupancyGrid] = None,
-                    obs_dynamic: Optional[jnp.ndarray] = None
+                    obs_dynamic: Optional[jnp.ndarray] = None,
+                    static_occ: Optional[OccupancyGrid] = None
                     ) -> RealDetectorState:
     """One ~30 Hz perception tick: render a depth frame at the drone's
     pose, detect, associate/track, classify, and push the track history.
@@ -233,13 +254,15 @@ def sense_and_track(rd: RealDetectorConfig, det: DetectorConfig,
     if obs_dynamic is None:
         obs_dynamic = obs_active
     stats = _update_stats(rd, det, state.stats, tracks, fresh, cam_pos, R,
-                          drone_pos, obs_pos, obs_dynamic & obs_active)
+                          drone_pos, obs_pos, obs_dynamic & obs_active,
+                          static_occ=static_occ)
     return RealDetectorState(tracks=tracks, pos_hist=ph, vel_hist=vh,
                              hist_len=hist_len, stats=stats)
 
 
 def query_history(rd: RealDetectorConfig, det: DetectorConfig,
-                  state: RealDetectorState, robot_pos: jnp.ndarray
+                  state: RealDetectorState, robot_pos: jnp.ndarray,
+                  static_occ: Optional[OccupancyGrid] = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                              jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """getDynamicObstaclesHist over the track table: histories +
@@ -254,7 +277,6 @@ def query_history(rd: RealDetectorConfig, det: DetectorConfig,
     acc = jnp.zeros_like(vel)   # const-vel KF publishes no acceleration
     d2 = jnp.linalg.norm(state.pos_hist[:, 0, 0:2] - robot_pos[0:2],
                          axis=-1)
-    _, _, _, dyn = pc.dynamic_obstacles(state.tracks,
-                                        vote_thresh=rd.dyn_vote_thresh)
+    dyn = _dyn_with_veto(rd, state.tracks, static_occ)
     visible = dyn & (d2 <= det.sensor_range) & (state.hist_len > 0)
     return state.pos_hist, vel, acc, size, state.hist_len, visible

@@ -91,6 +91,21 @@ class RealDetectorConfig:
     dyn_vote_thresh: float = 2.0      # classification votes -> dynamic
     dyn_vel_thresh: float = 0.3       # dynamic_velocity_threshold
     miss_max: int = 10                # coasting frames before a track dies
+    static_map_veto: bool = False     # veto dynamic classification for
+                                      # tracks sitting inside the prebuilt
+                                      # static map's occupied cells (the
+                                      # dynamicMap composition's converse:
+                                      # the map already feeds those
+                                      # obstacles to the MPC via
+                                      # clustering rows, and a static
+                                      # pillar's visible-face centroid
+                                      # moves with the viewpoint, which
+                                      # the centroid-velocity vote — a
+                                      # TPU-shaped stand-in for the
+                                      # reference's per-POINT voting,
+                                      # classificationCB :809-914 —
+                                      # misreads as motion. Measured A/B
+                                      # in RESULTS.md round 5
 
 
 @dataclass(frozen=True)

@@ -150,3 +150,42 @@ def test_sense_merges_static_grid():
     assert d.min() < 4.0, d
     # and the wall is ALSO in the scene: some detection sits beyond 5 m
     assert d.max() > 5.0, d
+
+
+def test_static_map_veto_gates_classification():
+    """RealDetectorConfig.static_map_veto (round 5): a track whose center
+    sits inside the prebuilt static map's occupied cells is not
+    classified dynamic — the map composition already feeds those
+    obstacles to the MPC via clustering rows, and the centroid-velocity
+    vote misreads a static pillar's viewpoint-driven face motion
+    (classificationCB :809-914 point voting is robust to this; the map
+    gate is the TPU-shaped equivalent). Protocol-scale A/B:
+    spurious-dynamic rate 0.32 -> 0.02 (results/real_dynus4_veto)."""
+    import dataclasses
+    from intent_mpc_tpu.models import perception as pc
+    from intent_mpc_tpu.models.occupancy import build_from_static_obstacles
+    from intent_mpc_tpu.models import real_detector as rdet
+    from intent_mpc_tpu.utils.config import RealDetectorConfig
+
+    occ = build_from_static_obstacles(
+        origin=(-1.0, -2.0, 0.0), size_m=(6.0, 4.0, 3.0), resolution=0.2,
+        centers=[[2.0, 0.0, 1.0]], bboxes=[[0.6, 0.6, 2.0]],
+        inflation=[0.0, 0.0, 0.0])
+    T = 4
+    tracks = pc.init_tracks(T)
+    # slot 0: parked ON the pillar with winning votes; slot 1: off-map
+    tracks = tracks._replace(
+        pos=tracks.pos.at[0].set(jnp.array([2.0, 0.0, 1.0]))
+                      .at[1].set(jnp.array([4.5, 1.0, 1.0])),
+        dyn_votes=tracks.dyn_votes.at[0].set(5.0).at[1].set(5.0),
+        live=tracks.live.at[0].set(True).at[1].set(True))
+    rd_off = RealDetectorConfig()
+    rd_on = dataclasses.replace(rd_off, static_map_veto=True)
+    dyn_off = rdet._dyn_with_veto(rd_off, tracks, occ)
+    dyn_on = rdet._dyn_with_veto(rd_on, tracks, occ)
+    assert bool(dyn_off[0]) and bool(dyn_off[1])
+    assert not bool(dyn_on[0])          # vetoed: inside the static map
+    assert bool(dyn_on[1])              # off-map track unaffected
+    # no grid passed -> veto is inert even when configured
+    dyn_none = rdet._dyn_with_veto(rd_on, tracks, None)
+    assert bool(dyn_none[0])
