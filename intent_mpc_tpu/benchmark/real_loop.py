@@ -79,11 +79,12 @@ def build_cfg(args) -> IntentMPCConfig:
         engine=dataclasses.replace(cfg.engine, timeout=args.timeout))
 
 
-def static_grid_for(sc, resolution=0.2):
+def static_grid_for(sc, resolution=0.2, inflation=(0.3, 0.3, 0.2)):
     """Prebuilt static occupancy map of a DYNUS scenario's pillars/walls
     (the reference's prebuilt-map mode, occupancyMap.cpp:399-475), with
-    the standard robot-size inflation. Fixed extents so every seed
-    compiles to the same program."""
+    the standard robot-size inflation (pass inflation=(0,0,0) for the
+    SOLID volume — the classification-veto grid). Fixed extents so every
+    seed compiles to the same program."""
     import numpy as np
     from intent_mpc_tpu.models.occupancy import build_from_static_obstacles
     st = np.asarray(sc.is_static)
@@ -91,7 +92,7 @@ def static_grid_for(sc, resolution=0.2):
     boxes = np.asarray(sc.bbox)[st]
     return build_from_static_obstacles(
         (-2.0, -16.5, 0.0), (112.0, 33.0, 7.6), resolution,
-        centers, boxes, inflation=(0.3, 0.3, 0.2))
+        centers, boxes, inflation=inflation)
 
 
 def main():  # pragma: no cover
@@ -115,6 +116,10 @@ def main():  # pragma: no cover
                          "inside the prebuilt static map's occupied "
                          "cells are not classified dynamic (the statics "
                          "already reach the MPC via clustering rows)")
+    ap.add_argument("--kf-inflate", type=float, default=None,
+                    help="RealDetectorConfig.kf_size_inflation: report "
+                         "track sizes inflated by this multiple of the "
+                         "KF position std (uncertainty-aware margin)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default="results/real_loop")
     args = ap.parse_args()
@@ -144,6 +149,9 @@ def main():  # pragma: no cover
     if args.static_veto:
         real_cfg = real_cfg.replace(real_detector=dataclasses.replace(
             real_cfg.real_detector, static_map_veto=True))
+    if args.kf_inflate is not None:
+        real_cfg = real_cfg.replace(real_detector=dataclasses.replace(
+            real_cfg.real_detector, kf_size_inflation=args.kf_inflate))
     modes = {"gt": cfg, "real": real_cfg}
     # --dynus uses the WorldConfig protocol corridor (105 m); the
     # --corridor arg only shapes the small-world mode
@@ -159,14 +167,20 @@ def main():  # pragma: no cover
         rows = []
         for seed in args.seeds:
             sc = generate_scenario(seed=seed, cfg=c.world)
-            occ = None
+            occ = veto = None
             if args.dynus and name == "real":
                 occ = static_grid_for(sc)
+                if args.static_veto:
+                    # veto against the SOLID static volume, not the
+                    # robot-inflated planning grid (see episode_step's
+                    # veto_occ note / results/real_dynus28_veto seed 21)
+                    veto = static_grid_for(sc, inflation=(0.0, 0.0, 0.0))
             t0 = time.time()
             # heavy per-cycle program (render/DBSCAN per hist tick):
             # chunk dispatches on the TPU tunnel (crash-envelope notes)
             carry, _ = run_episode(c, sc, ref, traj_len, occ=occ,
-                                   chunk_cycles=None if args.cpu else 100)
+                                   chunk_cycles=None if args.cpu else 100,
+                                   veto_occ=veto)
             row = summarize(c, carry)
             row["seed"] = seed
             row["wall_s"] = round(time.time() - t0, 1)

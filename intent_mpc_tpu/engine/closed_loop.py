@@ -234,13 +234,22 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
                  occ: OccupancyGrid, carry: EngineCarry, cycle_idx: jnp.ndarray,
                  solver_iters: Optional[int] = None,
                  solve_override=None,
-                 ref_key: Optional[jnp.ndarray] = None
+                 ref_key: Optional[jnp.ndarray] = None,
+                 veto_occ: Optional[OccupancyGrid] = None
                  ) -> Tuple[EngineCarry, jnp.ndarray]:
     """One 10 Hz MPC cycle + its 10 control ticks.
 
     solve_override: optional `(qps, warm6) -> ADMMResult` replacing the
     batched ADMM inside make_plan_with_pred (oracle-in-the-loop runs).
-    ref_key: PRNG key for the goal-mode RRT route (ref_mode "global")."""
+    ref_key: PRNG key for the goal-mode RRT route (ref_mode "global").
+    veto_occ: static grid for the real-detector classification veto
+    (RealDetectorConfig.static_map_veto). Pass the UN-inflated static
+    volume: vetoing against the robot-inflated planning grid masked a
+    dynamic obstacle skimming a pillar and caused the one measured veto
+    collision (seed 21, results/real_dynus28_veto) — a dynamic
+    obstacle's center essentially never enters SOLID static geometry.
+    Defaults to `occ` (the planning grid) when the flag is on and no
+    dedicated grid is given."""
     ecfg = cfg.engine
     cycle_dt = ecfg.control_dt * ecfg.ticks_per_cycle
     t0 = cycle_idx.astype(jnp.float32) * cycle_dt
@@ -267,7 +276,10 @@ def episode_step(cfg: IntentMPCConfig, scenario: Scenario,
         # GT obstacle boxes below are only the scene the camera images
         d = carry.detector
         cam_occ = occ if ecfg.render_static_grid else None
-        veto_occ = occ if cfg.real_detector.static_map_veto else None
+        if not cfg.real_detector.static_map_veto:
+            veto_occ = None
+        elif veto_occ is None:
+            veto_occ = occ
         rd = rdet.sense_and_track(cfg.real_detector, cfg.detector,
                                   carry.real_det, carry.pos, carry.yaw,
                                   obs_pos0, scenario.bbox, obs_all, cam_occ,
@@ -624,7 +636,8 @@ def run_episode(cfg: IntentMPCConfig, scenario: Scenario,
                 record_path: bool = False,
                 solve_override=None,
                 ref_key: Optional[jnp.ndarray] = None,
-                chunk_cycles: Optional[int] = None):
+                chunk_cycles: Optional[int] = None,
+                veto_occ: Optional[OccupancyGrid] = None):
     """Run one full episode; returns (final EngineCarry, path (C,3) or None).
 
     chunk_cycles: split the episode scan into <=chunk_cycles-cycle
@@ -639,7 +652,7 @@ def run_episode(cfg: IntentMPCConfig, scenario: Scenario,
     def step(c, i):
         c2, p = episode_step(cfg, scenario, ref_traj, traj_len, occ, c, i,
                              solver_iters, solve_override=solve_override,
-                             ref_key=ref_key)
+                             ref_key=ref_key, veto_occ=veto_occ)
         return c2, (p if record_path else None)
 
     if chunk_cycles is None or chunk_cycles >= n:

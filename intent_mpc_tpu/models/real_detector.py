@@ -271,8 +271,16 @@ def query_history(rd: RealDetectorConfig, det: DetectorConfig,
     path is identical downstream."""
     T, Hh, _ = state.pos_hist.shape
     robot = jnp.asarray(det.robot_size)
-    size = jnp.broadcast_to((state.tracks.size + robot)[:, None, :],
-                            (T, Hh, 3))
+    base = state.tracks.size + robot
+    if rd.kf_size_inflation > 0.0:
+        # uncertainty-aware margin: the track's KF position std joins the
+        # reported size exactly as the predictor's z-score sample std
+        # joins predicted sizes (genTraj, dynamicPredictor.cpp:503-538)
+        T_idx = jnp.arange(3)
+        pos_std = jnp.sqrt(jnp.clip(
+            state.tracks.P[:, T_idx, T_idx], 0.0, None))       # (T,3)
+        base = base + 2.0 * rd.kf_size_inflation * pos_std
+    size = jnp.broadcast_to(base[:, None, :], (T, Hh, 3))
     vel = state.vel_hist.at[..., 2].set(0.0)
     acc = jnp.zeros_like(vel)   # const-vel KF publishes no acceleration
     d2 = jnp.linalg.norm(state.pos_hist[:, 0, 0:2] - robot_pos[0:2],

@@ -91,6 +91,20 @@ class RealDetectorConfig:
     dyn_vote_thresh: float = 2.0      # classification votes -> dynamic
     dyn_vel_thresh: float = 0.3       # dynamic_velocity_threshold
     miss_max: int = 10                # coasting frames before a track dies
+    kf_size_inflation: float = 0.0    # inflate each track's reported size
+                                      # by this multiple of its KF
+                                      # position std (sqrt diag P[0:3]) —
+                                      # uncertainty-aware safety margin,
+                                      # the track-level analogue of the
+                                      # predictor's z-score sample-std
+                                      # size inflation (genTraj,
+                                      # dynamicPredictor.cpp:503-538).
+                                      # Motivated by the round-5 veto
+                                      # A/B: spurious static tracks were
+                                      # ACCIDENTAL conservatism, and
+                                      # removing them exposed the 0.69 m
+                                      # track RMSE at 2/32 knife-edge
+                                      # seeds (RESULTS.md round 5)
     static_map_veto: bool = False     # veto dynamic classification for
                                       # tracks sitting inside the prebuilt
                                       # static map's occupied cells (the
