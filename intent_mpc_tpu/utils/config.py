@@ -104,7 +104,15 @@ class RealDetectorConfig:
                                       # ACCIDENTAL conservatism, and
                                       # removing them exposed the 0.69 m
                                       # track RMSE at 2/32 knife-edge
-                                      # seeds (RESULTS.md round 5)
+                                      # seeds. VERDICT (32-seed sweep,
+                                      # results/real_dynus32_final):
+                                      # measured NEGATIVE — KF-std
+                                      # inflation under-covers the
+                                      # systematically biased visible-
+                                      # face tracks (3/32 collisions vs
+                                      # 0/32 no-veto). Stays OFF; see
+                                      # RESULTS.md "Spurious-rate
+                                      # attack"
     static_map_veto: bool = False     # veto dynamic classification for
                                       # tracks sitting inside the prebuilt
                                       # static map's occupied cells (the
@@ -118,8 +126,16 @@ class RealDetectorConfig:
                                       # TPU-shaped stand-in for the
                                       # reference's per-POINT voting,
                                       # classificationCB :809-914 —
-                                      # misreads as motion. Measured A/B
-                                      # in RESULTS.md round 5
+                                      # misreads as motion. Works as
+                                      # perception metrology (spurious
+                                      # 0.37 -> 0.03, RMSE unchanged)
+                                      # but the phantom rows are load-
+                                      # bearing safety margin: every
+                                      # veto variant collides at
+                                      # protocol scale (1-3 per 28-32
+                                      # seeds) where no-veto is 0/32.
+                                      # Stays OFF in flight; RESULTS.md
+                                      # "Spurious-rate attack"
 
 
 @dataclass(frozen=True)
